@@ -1,13 +1,297 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine._
+import graft.fixtures.{PagesGen, PagesRules}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` run against the driver's TPC-H-ish parquet dir and are
+  * hash-compared against `oracleSql` run in DuckDB on the same files, so:
+  *  - every aggregate / computed column is aliased identically on both sides;
+  *  - money-style sums go through DecimalType (exact, order-independent)
+  *    rather than double (order-dependent across engines);
+  *  - every ORDER-dependent result carries a unique tie-break key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Flagship: the full validation pass (row rules + referential +
+    * uniqueness + stats) over a pages-shaped table derived from the
+    * sf0.001 documents, returning per-partition verdicts.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val pages = documentsAsPages(t(spark, dir, "documents"))
+    val hosts = pages.select(expr("try_parse_url(url, 'HOST')").as("host"))
+      .where(col("host").isNotNull).distinct()
+    val cfg = EngineConfig(
+      keyExpr = "url",
+      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
+    ValidationEngine.run(pages, PagesRules.catalog,
+      dims = Map("hosts" -> hosts), cfg = cfg).verdicts
+  }
+
+  /** Deterministic pages view over the documents table — the graft input
+    * shape (url, warc_ts, html, text, lang) built from real testdata.
+    */
+  def documentsAsPages(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string")).as("url"),
+      timestamp_seconds(lit(1704067200L) + col("doc_id") * 797L).as("warc_ts"),
+      concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+        .cast("binary").as("html"),
+      col("text").as("text"),
+      col("lang").as("lang"))
+
+  // ---------------------------------------------------------------------
+  // Operator queries (SURVEY.md §2 inventory; oracle-checked in DuckDB)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A2/A3 group-by aggregation (invoice-per-week shape, reports.py:19-35)
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // A4 filtered aggregates (CustomerManager annotations, customer.py:28-58)
+    "q_filtered_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_totalprice") > 1000.0, 1L).otherwise(0L)).as("n_big"),
+          sum(when(col("o_orderpriority") === "1-URGENT", dec(col("o_totalprice")))
+            .otherwise(dec(lit(0)))).cast("double").as("urgent_total"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // J1/J2 FK equi-joins with broadcast dims + grouped revenue
+    "q_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // J4 semi-join (EXISTS; filters.py:85)
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey", "c_name")
+    }),
+
+    // J5 anti-join — referential-integrity orphan check (R9 shape)
+    "q_anti_join_orphans" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select(col("c_custkey").as("o_custkey"))
+      o.join(c, Seq("o_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+    }),
+
+    // W3 first-row pick per group (booking.py:153-158) — deterministic
+    // tie-break on the unique key
+    "q_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // A1 global min/max (booking.py:305-314)
+    "q_minmax_global" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(lit(1)).as("cnt"))
+    }),
+
+    // A11 bucketed time aggregation (year/week report, reports.py:25-32;
+    // month used for cross-engine calendar parity)
+    "q_time_buckets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
+    // A9/R5 uniqueness violations: composite key with count > 1
+    "q_dup_uniqueness" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+    }),
+
+    // R2 allowed-set rule: event_type outside the closed enum
+    "q_enum_violations" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(!col("event_type").isin("click", "view", "purchase", "signup"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // R14 generated-column consistency: stored n_chars vs recompute
+    "q_generated_consistency" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+            .as("n_bad"),
+          count(lit(1)).as("n"))
+    }),
+
+    // column-stats pass shape: per-group count/min/max/distinct/nulls
+    "q_stats_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
+
+    // J7/R10 self range-join: same-customer orders within 1 day
+    "q_self_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("a_key"), col("o_orderdate").as("a_date"))
+      val b = o.select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("b_key"), col("o_orderdate").as("b_date"))
+      a.join(b, Seq("custkey"))
+        .where(col("a_key") < col("b_key") &&
+          abs(unix_timestamp(col("a_date")) - unix_timestamp(col("b_date"))) <= 86400L)
+        .groupBy(col("custkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // W6/R12 state-sequence reconstruction: transition counts via lag()
+    "q_fsm_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // F17 JSON field access (user_settings.py:10)
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2""",
+    "q_filtered_agg" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CASE WHEN o_totalprice > 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+             THEN CAST(o_totalprice AS DECIMAL(18,2))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total,
+         count(*) AS cnt
+         FROM orders GROUP BY 1""",
+    "q_join_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_anti_join_orphans" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""",
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q_minmax_global" ->
+      """SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+         count(*) AS cnt FROM lineitem""",
+    "q_time_buckets" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         count(*) AS cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2""",
+    "q_dup_uniqueness" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS n
+         FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1""",
+    "q_enum_violations" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE event_type NOT IN ('click','view','purchase','signup')
+         GROUP BY 1""",
+    "q_generated_consistency" ->
+      """SELECT source,
+         CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         count(*) AS n
+         FROM documents GROUP BY 1""",
+    "q_stats_profile" ->
+      """SELECT lang, count(*) AS cnt,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY 1""",
+    "q_self_range_join" ->
+      """SELECT a.o_custkey AS custkey, count(*) AS n_pairs
+         FROM orders a JOIN orders b
+           ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+          AND abs(epoch(a.o_orderdate) - epoch(b.o_orderdate)) <= 86400
+         GROUP BY 1""",
+    "q_fsm_transitions" ->
+      """SELECT prev, event_type, count(*) AS n FROM (
+           SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS prev
+           FROM events)
+         WHERE prev IS NOT NULL GROUP BY 1, 2""",
+    "q_json_extract" ->
+      """SELECT event_type,
+         CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
+         FROM events GROUP BY 1"""
+  )
 }

@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rules.ValidationRule
+
+/** The `_validation_audit` table: per-partition lineage + metrics rows, and
+  * the resume watermark (north_rule: "resumable from checkpoint with
+  * per-partition lineage + metrics").
+  *
+  * Reference analog: the `StateLog` audit trail + `MonitorField`s
+  * (`cerberus/models/invoice.py:70-71,138-151`) — an append-only history
+  * from which "what already happened" is reconstructed. Here: a run is
+  * resumable because each (partition, rule) verdict is an idempotent row;
+  * on restart we diff the input's partitions against the audit and validate
+  * only the new ones (batch incrementality per SURVEY.md §2.8 — with Iceberg
+  * this would key on snapshot-id; on plain parquet we key on the partition
+  * value, which is the same unit the daily crawl appends by).
+  */
+final class AuditLog(dir: String, spark: SparkSession) {
+
+  private val verdictsDir = s"$dir/verdicts"
+  private val runsDir = s"$dir/runs"
+
+  private def exists(p: String): Boolean =
+    new java.io.File(p).exists() // local FS; on a cluster: Hadoop FileSystem
+
+  /** Append verdict rows stamped with run lineage. */
+  def append(verdicts: DataFrame, runId: String): Unit = {
+    verdicts
+      .withColumn("run_id", lit(runId))
+      .withColumn("audit_ts", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(verdictsDir)
+    spark.createDataFrame(Seq((runId, java.time.Instant.now.toString)))
+      .toDF("run_id", "started").write.mode(SaveMode.Append).parquet(runsDir)
+  }
+
+  def verdicts(): DataFrame =
+    if (exists(verdictsDir)) spark.read.parquet(verdictsDir)
+    else spark.emptyDataFrame
+
+  /** Partitions that already have verdict rows — the resume watermark. */
+  def validatedParts(): Set[String] =
+    if (!exists(verdictsDir)) Set.empty
+    else spark.read.parquet(verdictsDir).select("part").distinct()
+      .collect().map(_.getString(0)).toSet
+}
+
+object Audit {
+
+  /** Incremental (resumable) validation: validate only partitions not yet
+    * in the audit, append their verdicts, return the result for the NEW
+    * partitions only. Re-running after success is a no-op; re-running after
+    * a mid-run failure re-validates only what never got verdict rows —
+    * per-partition verdicts are the unit of idempotent re-execution.
+    */
+  def runIncremental(df: DataFrame, rules: Seq[ValidationRule],
+      dims: Map[String, DataFrame], cfg: EngineConfig,
+      auditDir: String, runId: String): Option[ValidationResult] = {
+    val spark = df.sparkSession
+    val audit = new AuditLog(auditDir, spark)
+    val done = audit.validatedParts()
+
+    // Partition pruning: the filter on partExpr is pushed to the scan, so
+    // already-validated daily partitions are never read again.
+    val pending =
+      if (done.isEmpty) df
+      else df.where(!expr(cfg.partExpr).cast("string").isin(done.toSeq: _*))
+
+    if (pending.isEmpty) None
+    else {
+      val res = ValidationEngine.run(pending, rules, dims, cfg)
+      audit.append(res.verdicts, runId)
+      Some(res)
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-stats pass (SURVEY.md §7 step 3; north_star "column stats" leg).
+  *
+  * One `groupBy(partition)` aggregation computes, for every column:
+  * row count, null count/rate, approx distinct (HyperLogLog++ via
+  * `approx_count_distinct`), min/max — the Spark-native equivalents of the
+  * sketches named in the north_star (HLL for distinct; quantiles via
+  * `percentile_approx`, exposed by [[numericQuantiles]]).
+  *
+  * Scale: partial aggregation (map-side combine) means the shuffle carries
+  * only (numPartitions × numColumns) sketch buffers, not rows. The result
+  * doubles as the per-partition `checked` count for verdict assembly, so no
+  * extra scan is spent on counting.
+  */
+object StatsPass {
+
+  /** Long-form profile: one row per (part, column) — graft.model.ColumnProfile. */
+  def profile(df: DataFrame, cfg: EngineConfig,
+      columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs: Seq[Column] = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        approx_count_distinct(col(c)).as(s"_dist_$c"),
+        min(col(c).cast("string")).as(s"_min_$c"),
+        max(col(c).cast("string")).as(s"_max_$c"))
+    }
+    val wide = df
+      .groupBy(expr(cfg.partExpr).cast("string").as("part"))
+      .agg(aggs.head, aggs.tail: _*)
+
+    // melt wide → long with a stack() over the per-column measure structs
+    val stackArgs = cols.map { c =>
+      struct(lit(c).as("column"), col(s"_null_$c").as("nullCount"),
+        col(s"_dist_$c").as("approxDistinct"),
+        col(s"_min_$c").as("min"), col(s"_max_$c").as("max"))
+    }
+    wide.select(col("part"), col("_rows").as("rowCount"),
+        explode(array(stackArgs: _*)).as("m"))
+      .select(
+        col("part"), col("m.column").as("column"),
+        col("rowCount"), col("m.nullCount").as("nullCount"),
+        (col("m.nullCount").cast("double") /
+          when(col("rowCount") === 0, 1L).otherwise(col("rowCount"))).as("nullRate"),
+        col("m.approxDistinct").as("approxDistinct"),
+        col("m.min").as("min"), col("m.max").as("max"))
+  }
+
+  /** Approximate quantiles of a numeric expression per partition
+    * (KLL/t-digest role from the north_star → built-in percentile_approx,
+    * which is mergeable across partial aggregation).
+    */
+  def numericQuantiles(df: DataFrame, cfg: EngineConfig, exprSql: String,
+      probabilities: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99),
+      accuracy: Int = 10000): DataFrame = {
+    df.groupBy(expr(cfg.partExpr).cast("string").as("part"))
+      .agg(percentile_approx(expr(exprSql),
+        array(probabilities.map(lit): _*), lit(accuracy)).as("quantiles"))
+  }
+
+  /** Fixed-width histogram of a numeric expression per partition — the
+    * drift-check input. Bin width chosen by caller; counts shuffle as
+    * (part, bin) partials only.
+    */
+  def histogram(df: DataFrame, cfg: EngineConfig, exprSql: String,
+      binWidth: Double): DataFrame = {
+    df.select(expr(cfg.partExpr).cast("string").as("part"),
+        floor(expr(exprSql).cast("double") / binWidth).as("bin"))
+      .groupBy(col("part"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+}
