@@ -1,0 +1,239 @@
+package graft.crm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-row / cross-table CRM checks (the rule species that need joins or
+  * windows rather than row predicates) — each emits the engine's standard
+  * violation schema so all rule outputs union into one sink.
+  *
+  * Every check is set-oriented: the reference evaluates these row-at-a-time
+  * in `clean()`/`save()` hooks; here each is one join/aggregation pass.
+  */
+object CrmChecks {
+
+  import graft.engine.ValidationEngine.violationCols
+
+  private def shape(df: DataFrame, entity: String, keyCol: Column,
+      ruleId: String, path: String, msg: Column,
+      severity: String = "error"): DataFrame =
+    df.select(
+      concat(lit(entity + ":"), keyCol.cast("string")).as("key"),
+      lit(entity).as("part"),
+      lit(ruleId).as("rule_id"),
+      lit(path).as("path"),
+      msg.as("message"),
+      lit(severity).as("severity"))
+      .select(violationCols.map(col): _*)
+
+  /** The reference's 4-clause interval-overlap predicate
+    * (`cerberus/models/booking.py:72-78`), replicated exactly:
+    * other.start<s ∧ other.end>s  ∨  other.start<e ∧ other.end>e
+    * ∨ equal ∨ strictly-contained.
+    */
+  def overlapPredicate(aStart: Column, aEnd: Column,
+      bStart: Column, bEnd: Column): Column =
+    (bStart < aStart && bEnd > aStart) ||
+    (bStart < aEnd && bEnd > aEnd) ||
+    (bStart === aStart && bEnd === aEnd) ||
+    (bStart > aStart && bEnd < aEnd)
+
+  /** R10: slots overlapping another slot that has live bookings
+    * (`booking.py:80-83`, ValidationError `:87` "BookingSlot overlaps
+    * another BookingSlot").
+    *
+    * Scale: a naive self-theta-join is O(n²) per partition. We explode each
+    * interval into fixed-width time buckets and equi-join on the bucket, so
+    * the join is hash-partitioned by time and only near-in-time pairs are
+    * compared (SURVEY.md §2.3 J7). Any overlapping pair shares ≥1 bucket.
+    */
+  def overlappingSlots(slots: DataFrame, bookings: DataFrame,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    val withBookings = bookings
+      .where(col("booking_slot_id").isNotNull && col("state") =!= "canceled")
+      .select(col("booking_slot_id").as("id")).distinct()
+
+    def bucketed(prefix: String, df: DataFrame): DataFrame =
+      df.select(
+        col("id").as(s"${prefix}_id"),
+        col("start").as(s"${prefix}_start"),
+        col("end").as(s"${prefix}_end"),
+        explode(sequence(
+          floor(unix_timestamp(col("start")) / bucketSeconds),
+          floor(unix_timestamp(col("end")) / bucketSeconds))).as("bucket"))
+
+    val a = bucketed("a", slots)
+    val b = bucketed("b", slots.join(withBookings, Seq("id"), "left_semi"))
+    val pairs = a.join(b,
+        a("bucket") === b("bucket") && col("a_id") =!= col("b_id") &&
+        overlapPredicate(col("a_start"), col("a_end"),
+          col("b_start"), col("b_end")))
+      .select(col("a_id").as("id")).distinct()
+
+    shape(pairs, "booking_slot", col("id"), "no_overlap", "start",
+      lit("BookingSlot overlaps another BookingSlot"))
+  }
+
+  /** R11 single-service-per-slot (`booking.py:89-90`). */
+  def multipleServicesPerSlot(bookings: DataFrame): DataFrame = {
+    val bad = bookings
+      .where(col("booking_slot_id").isNotNull && col("state") =!= "canceled")
+      .groupBy(col("booking_slot_id"))
+      .agg(countDistinct(col("service_id")).as("n_services"))
+      .where(col("n_services") > 1)
+    shape(bad, "booking_slot", col("booking_slot_id"), "single_service",
+      "service_id", lit("BookingSlot has multiple services"))
+  }
+
+  /** R11 capacity: pets per slot ≤ service.max_pet, distinct customers per
+    * slot ≤ service.max_customer (`booking.py:365-383`). Messages verbatim
+    * from MaxPetsError/MaxCustomersError (`booking.py:372,375`).
+    */
+  def capacity(bookings: DataFrame, bookingPets: DataFrame,
+      services: DataFrame): DataFrame = {
+    val live = bookings
+      .where(col("booking_slot_id").isNotNull && col("state") =!= "canceled")
+    val petCounts = live.alias("b")
+      .join(bookingPets.alias("bp"), col("b.id") === col("bp.booking_id"), "left")
+      .groupBy(col("b.booking_slot_id").as("slot_id"),
+        col("b.service_id").as("service_id"))
+      .agg(
+        count(col("bp.pet_id")).as("pet_count"),
+        countDistinct(col("b.customer_id")).as("customer_count"))
+    val joined = petCounts
+      .join(broadcast(services.select(col("id").as("service_id"),
+        col("max_pet"), col("max_customer"))), Seq("service_id"))
+
+    val maxPets = joined.where(col("pet_count") > col("max_pet"))
+    val maxCust = joined.where(col("customer_count") > col("max_customer"))
+    shape(maxPets, "booking_slot", col("slot_id"), "max_pets", "pets",
+      concat(lit("Booking has max pets for service, "),
+        col("max_pet").cast("string")))
+      .unionByName(
+        shape(maxCust, "booking_slot", col("slot_id"), "max_customers",
+          "customer_id",
+          concat(lit("Booking has max customers for service, "),
+            col("max_customer").cast("string"))))
+  }
+
+  /** R12: FSM transition legality over the audit log (W6). Validates each
+    * logged (source_state → state) edge against the entity's transition
+    * matrix (`CrmCatalog.transitionsFor`); `complete` additionally requires
+    * end < now (`booking.py:389-390,449-455`).
+    */
+  def fsmLegality(stateLog: DataFrame, entity: String): DataFrame = {
+    val legal = CrmCatalog.transitionsFor(entity).toSeq
+    val legalDf = broadcast(
+      stateLog.sparkSession.createDataFrame(legal)
+        .toDF("source_state", "state"))
+    val bad = stateLog.where(col("entity") === entity)
+      .join(legalDf, Seq("source_state", "state"), "left_anti")
+    shape(bad, entity, col("entity_id"), "fsm_legal", "state",
+      concat(lit("illegal transition "), col("source_state"),
+        lit(" -> "), col("state"))
+    )
+  }
+
+  /** R12 condition: completed bookings must have end < frozen now. */
+  def completeRequiresPastEnd(bookings: DataFrame, nowSql: String): DataFrame = {
+    val bad = bookings.where(col("state") === "completed" &&
+      !(col("end") < expr(nowSql)))
+    shape(bad, "booking", col("id"), "complete_requires_past_end", "end",
+      lit("cannot complete a booking before its end"))
+  }
+
+  /** R17 accounting invariants (`invoice.py:211-231`, `charge.py:98-119`;
+    * exact Decimal equality — tests/test_invoices.py:166-188):
+    *  - total = adjustment + Σ(line×quantity)     (loaded == computed)
+    *  - paid invoices: Σ payments == total        (pay() balances in full)
+    *  - per charge: Σ refund children ≤ amount    (ChargeRefundError)
+    */
+  def accountingInvariants(invoices: DataFrame, charges: DataFrame,
+      payments: DataFrame): DataFrame = {
+    val subtotals = charges
+      .where(col("invoice_id").isNotNull)
+      .groupBy(col("invoice_id"))
+      .agg(sum(col("line") * col("quantity")).as("subtotal"))
+    val paid = payments
+      .where(col("invoice_id").isNotNull)
+      .groupBy(col("invoice_id"))
+      .agg(sum(col("amount")).as("paid"))
+    val inv = invoices.alias("i")
+      .join(subtotals, col("i.id") === subtotals("invoice_id"), "left")
+      .join(paid, col("i.id") === paid("invoice_id"), "left")
+      .select(col("i.id").as("id"), col("i.state").as("state"),
+        col("i.adjustment").as("adjustment"),
+        coalesce(col("subtotal"), lit(0).cast("decimal(14,2)")).as("subtotal"),
+        coalesce(col("paid"), lit(0).cast("decimal(14,2)")).as("paid"))
+      .withColumn("total", col("adjustment") + col("subtotal"))
+
+    val paidMismatch = inv.where(col("state") === "paid" &&
+      !(col("paid") <=> col("total")))
+    val v1 = shape(paidMismatch, "invoice", col("id"), "paid_equals_total",
+      "paid", concat(lit("paid "), col("paid").cast("string"),
+        lit(" != total "), col("total").cast("string")))
+
+    // refunds: children with state='refund' carry negative line values
+    val refunded = charges.where(col("state") === "refund" &&
+        col("parent_charge_id").isNotNull)
+      .groupBy(col("parent_charge_id").as("_parent_id"))
+      .agg((-sum(col("line") * col("quantity"))).as("refunded"))
+    val overRefund = charges.alias("c")
+      .join(refunded, col("c.id") === col("_parent_id"))
+      .where(col("refunded") > col("c.line") * col("c.quantity"))
+    val v2 = shape(overRefund, "charge", col("c.id"), "refund_within_amount",
+      "line", lit("Refund amount exceeds the refundable amount"))
+
+    v1.unionByName(v2)
+  }
+
+  /** R13 immutability after send (`invoice.py:92-108`; test
+    * tests/test_invoices.py:80-87): business fields of post-draft invoices
+    * must be identical across two snapshots.
+    */
+  def immutabilityDrift(before: DataFrame, after: DataFrame,
+      protectedCols: Seq[String] =
+        Seq("details", "due", "adjustment", "customer_name",
+          "invoice_address")): DataFrame = {
+    val b = before.select((Seq(col("id"), col("state")) ++
+      protectedCols.map(c => col(c).as(s"b_$c"))): _*)
+    val a = after.select((col("id") +: protectedCols.map(c => col(c).as(s"a_$c"))): _*)
+    val joined = b.join(a, Seq("id")).where(col("state") =!= "draft")
+    protectedCols.map { c =>
+      shape(joined.where(!(col(s"b_$c") <=> col(s"a_$c"))),
+        "invoice", col("id"), "immutable_after_send", c,
+        lit(s"post-send edit to protected field $c"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** R15: a booking's pets must belong to the booking's customer
+    * (`booking.py:298-300`).
+    */
+  def petOwnership(bookings: DataFrame, bookingPets: DataFrame,
+      pets: DataFrame): DataFrame = {
+    val bad = bookings.alias("b")
+      .join(bookingPets.alias("bp"), col("b.id") === col("bp.booking_id"))
+      .join(pets.alias("p"), col("bp.pet_id") === col("p.id"))
+      .where(!(col("p.customer_id") <=> col("b.customer_id")))
+    shape(bad, "booking", col("b.id"), "pets_belong_to_customer", "pets",
+      concat(lit("pet "), col("p.id").cast("string"),
+        lit(" does not belong to booking customer")))
+  }
+
+  /** R18: orphan slots — no bookings at all (reference GC-deletes them,
+    * `booking.py:149-151`); surfaced as warn-severity violations.
+    */
+  def orphanSlots(slots: DataFrame, bookings: DataFrame): DataFrame = {
+    val used = bookings.where(col("booking_slot_id").isNotNull)
+      .select(col("booking_slot_id").as("id")).distinct()
+    val bad = slots.join(used, Seq("id"), "left_anti")
+    shape(bad, "booking_slot", col("id"), "orphan_slot", "id",
+      lit("slot has no bookings"), severity = "warn")
+  }
+
+  /** Overdue predicate — must equal the reference's annotation AND its
+    * Python property (`invoice.py:45` vs `:130-132`): unpaid ∧ due < today.
+    */
+  def overdue(due: Column, state: Column, todaySql: String): Column =
+    state === "unpaid" && due.isNotNull && due < expr(todaySql)
+}
