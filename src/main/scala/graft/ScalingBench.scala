@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.fixtures.{PagesGen, PagesRules}
+
+/** The north-metric benchmark: validated rows/sec for the FULL rule-set
+  * pass (row rules + referential + salted uniqueness + stats/histograms +
+  * drift) over a pages table read from parquet.
+  *
+  * Run via spark-submit at two parallelism levels on the SAME input
+  * (BASELINE.md sandbox scaling protocol — stands in for N vs 4N
+  * executors):
+  *
+  *   sbt package
+  *   /opt/spark/bin/spark-submit --master local[8]  \
+  *     --conf spark.sql.shuffle.partitions=8  --driver-memory 24g \
+  *     --class graft.ScalingBench <jar> <rows> /tmp/scaling_8.json
+  *   /opt/spark/bin/spark-submit --master local[32] \
+  *     --conf spark.sql.shuffle.partitions=32 --driver-memory 24g \
+  *     --class graft.ScalingBench <jar> <rows> /tmp/scaling_32.json
+  *
+  * Determinism: the input parquet is generated once (seeded, hash-derived,
+  * no RNG) and reused by both runs; the salted aggregation salt derives
+  * from data, so violation/verdict counts are identical at both levels —
+  * the runs differ only in wall-clock.
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val nRows = if (args.length > 0) args(0).toLong else 8000000L
+    val outPath = if (args.length > 1) args(1) else ""
+
+    val spark = SparkSession.builder()
+      .appName("graft-scaling-bench")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val master = spark.sparkContext.master
+    val parallelism = spark.sparkContext.defaultParallelism
+
+    // task-metric accumulation: executor CPU time is the hypervisor-noise-
+    // free scaling signal — constant cpu-time/row across parallelism levels
+    // means the engine adds no coordination overhead as it widens
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val runMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (e.taskMetrics != null) {
+            cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
+            runMillis.addAndGet(e.taskMetrics.executorRunTime)
+          }
+        }
+      })
+
+    // ---- setup (untimed): materialize the input once, reuse across runs
+    val inputDir = s"/tmp/graft_bench_pages_${nRows}_seed42"
+    if (!Files.exists(Paths.get(inputDir, "_SUCCESS"))) {
+      PagesGen.generate(spark, nRows, nDays = 10)
+        .pages.repartition(64).write.mode("overwrite").parquet(inputDir)
+    }
+    val hostsDir = s"/tmp/graft_bench_hosts_seed42"
+    if (!Files.exists(Paths.get(hostsDir, "_SUCCESS"))) {
+      PagesGen.generate(spark, 1L, nDays = 1)
+        .hosts.write.mode("overwrite").parquet(hostsDir)
+    }
+
+    val pages = spark.read.parquet(inputDir)
+    val hosts = spark.read.parquet(hostsDir)
+    val cfg = EngineConfig(keyExpr = "url",
+      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      uniquenessSalts = 64,
+      statsExprs = PagesRules.statsExprs,
+      histograms = Seq(("text_len", "length(text)", 25.0)))
+
+    // ---- timed: the full validation job, ONE decode of the source
+    val sink = s"/tmp/graft_bench_out_$parallelism"
+    cpuNanos.set(0L); runMillis.set(0L) // exclude setup/generation CPU
+    val t0 = System.nanoTime()
+    ValidationEngine.runToSink(pages, PagesRules.catalog,
+      dims = Map("hosts" -> hosts), cfg = cfg, sinkDir = sink)
+    val drift = Drift.againstPrevious(
+      spark.read.parquet(s"$sink/hist_text_len")
+        .where(col("part").startsWith("2024")), "text_len")
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // listener events drain asynchronously; give the bus a moment
+    Thread.sleep(1500)
+
+    val nViolations = spark.read.parquet(s"$sink/violations").count()
+    val nVerdicts = spark.read.parquet(s"$sink/verdicts").count()
+    val rate = nRows / elapsed
+    val cpuSec = cpuNanos.get() / 1e9
+    val json =
+      s"""{"master":"$master","parallelism":$parallelism,"rows":$nRows,""" +
+      s""""elapsed_sec":$elapsed,"rows_per_sec":$rate,""" +
+      s""""cpu_sec":$cpuSec,"cpu_us_per_row":${cpuSec * 1e6 / nRows},""" +
+      s""""executor_run_sec":${runMillis.get() / 1e3},""" +
+      s""""violations":$nViolations,"verdicts":$nVerdicts,""" +
+      s""""drift_reports":${drift.size},"seed":42}"""
+    println(json)
+    if (outPath.nonEmpty) Files.writeString(Paths.get(outPath), json)
+    spark.stop()
+  }
+}

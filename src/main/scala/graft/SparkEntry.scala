@@ -209,6 +209,187 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    }),
+
+    // W5 top-k with deterministic tie-break
+    "q_topk_global" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // A8 distinct counts per group
+    "q_distinct_custs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // token counting (whitespace tokenizer) — text-pipeline primitive
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tokens"),
+          count(lit(1)).as("docs"))
+    }),
+
+    // F6-shape regex classifier chain (first match wins) → class counts
+    "q_regex_classify" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("cls",
+          when(col("text").rlike("spark"), "sparkish")
+            .when(col("text").rlike("window"), "windowed")
+            .when(col("text").rlike("hash"), "hashy")
+            .otherwise("other"))
+        .groupBy(col("cls")).agg(count(lit(1)).as("n"))
+    }),
+
+    // exact dedup key: duplicate 30-char text prefixes (R5 over documents)
+    "q_dedup_exact_prefix" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(substring(col("text"), 1, 30).as("prefix"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+    }),
+
+    // embedding stats: raw min/max are arithmetic-free → bit-identical
+    "q_embedding_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(element_at(col("embedding"), 1)).as("min_e1"),
+          max(element_at(col("embedding"), 1)).as("max_e1"),
+          min(size(col("embedding"))).as("min_dim"),
+          max(size(col("embedding"))).as("max_dim"))
+    }),
+
+    // ------------- rows-only entries (no SQL-expressible oracle) --------
+
+    // full validation pass over the pages-shaped table (the flagship job)
+    "q_pages_validate" -> ((s, dir) => {
+      val pages = documentsAsPages(t(s, dir, "documents"))
+      val hosts = pages.select(expr("try_parse_url(url, 'HOST')").as("host"))
+        .where(col("host").isNotNull).distinct()
+      val cfg = EngineConfig(keyExpr = "url",
+        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
+      ValidationEngine.run(pages, PagesRules.catalog,
+        dims = Map("hosts" -> hosts), cfg = cfg)
+        .verdicts.orderBy("part", "rule_id")
+    }),
+
+    // engine versus planted corruption (self-contained generator input)
+    "q_pages_validate_planted" -> ((s, dir) => {
+      val data = PagesGen.generate(s, nRows = 50000L, nDays = 5)
+      val cfg = EngineConfig(keyExpr = "url",
+        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
+      ValidationEngine.run(data.pages, PagesRules.catalog,
+        dims = Map("hosts" -> data.hosts), cfg = cfg)
+        .violations.groupBy(col("rule_id")).agg(count(lit(1)).as("n"))
+        .orderBy("rule_id")
+    }),
+
+    // CRM replay: the reference error-fixture corpus as violation rows
+    "q_crm_replay" -> ((s, dir) => {
+      val t = graft.fixtures.CrmFixtures.build(s)
+      import graft.crm.{CrmCatalog, CrmChecks}
+      def run(df: DataFrame, rules: Seq[graft.rules.ValidationRule], e: String) =
+        ValidationEngine.run(df, rules,
+          Map("customers" -> t.customers, "services" -> t.services,
+            "invoices" -> t.invoices),
+          EngineConfig(s"concat('$e:', cast(id as string))", s"'$e'",
+            uniquenessSalts = 4)).violations
+      Seq(
+        run(t.bookings, CrmCatalog.bookingRules, "booking"),
+        run(t.bookingSlots, CrmCatalog.slotRules, "booking_slot"),
+        run(t.customers, CrmCatalog.customerRules, "customer"),
+        run(t.invoices, CrmCatalog.invoiceRules, "invoice"),
+        run(t.charges, CrmCatalog.chargeRules, "charge"),
+        run(t.payments, CrmCatalog.paymentRules, "payment"),
+        run(t.pets, CrmCatalog.petRules, "pet"),
+        CrmChecks.overlappingSlots(t.bookingSlots, t.bookings),
+        CrmChecks.capacity(t.bookings, t.bookingPets, t.services),
+        CrmChecks.fsmLegality(t.stateLog, "booking"),
+        CrmChecks.accountingInvariants(t.invoices, t.charges, t.payments),
+        CrmChecks.petOwnership(t.bookings, t.bookingPets, t.pets)
+      ).reduce(_.unionByName(_)).orderBy("key", "rule_id")
+    }),
+
+    // MinHash-LSH near-dup pairs over the documents corpus
+    "q_minhash_lsh" -> ((s, dir) => {
+      graft.dedup.Dedup.minHashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.35, numHashes = 64, bands = 32)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash near-dup pairs
+    "q_simhash_neardup" -> ((s, dir) => {
+      graft.dedup.Dedup.simHashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 7)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // brute-force cosine top-k (ANN baseline) for 5 query vectors
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.sim.Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "q_id", "q_vec", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // bucket granularity sized to the corpus: 2^6 buckets over ~10^3
+      // vectors keeps per-bucket work tiny while recall stays high
+      // these embeddings are near-random (top cosine ~0.37), the hard case
+      // for SRP-LSH; 12 tables of 2^5 buckets probe ~40% of the corpus for
+      // ~2/3 recall — on clustered real embeddings recall >0.9 (see
+      // SimilaritySpec)
+      graft.sim.Similarity.lshTopK(emb, queries,
+        "vec_id", "embedding", "q_id", "q_vec", k = 10,
+        planes = 5, tables = 12)
+        .orderBy("q_id", "rank")
+    }),
+
+    // text-quality profile: langId, quality score, token counts
+    "q_text_quality" -> ((s, dir) => {
+      import graft.text.{TextFunctions => TF}
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.langId(col("text")).as("lang_id"),
+        round(TF.qualityScore(col("text")), 4).as("quality"),
+        TF.tokenCount(col("text")).as("tokens"),
+        TF.bpeishTokenCount(col("text")).as("bpe_tokens"),
+        TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal plumbing: stubbed decode over binary media columns
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromPages(
+        documentsAsPages(t(s, dir, "documents")))
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+        .select(col("id"), col("kind"), col("ok"), col("featureDim"))
+        .orderBy("id")
+    }),
+
+    // drift: per-source PSI/KS of n_chars distributions vs the first source
+    "q_drift_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cfg = EngineConfig(keyExpr = "doc_id", partExpr = "source")
+      val hist = StatsPass.histogram(docs, cfg, "n_chars", binWidth = 25.0)
+      val reports = Drift.againstBaseline(hist, "src0", "n_chars")
+      s.createDataFrame(reports)
+        .select(col("part"), col("metric"),
+          round(col("value"), 6).as("value"), col("pass"))
+        .orderBy("part", "metric")
     })
   )
 
@@ -292,6 +473,32 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_type,
          CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_distinct_custs" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+         count(*) AS n_orders FROM orders GROUP BY 1""",
+    "q_token_count" ->
+      """SELECT lang,
+         CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+         count(*) AS docs
+         FROM documents GROUP BY 1""",
+    "q_regex_classify" ->
+      """SELECT CASE WHEN regexp_matches(text, 'spark') THEN 'sparkish'
+                     WHEN regexp_matches(text, 'window') THEN 'windowed'
+                     WHEN regexp_matches(text, 'hash') THEN 'hashy'
+                     ELSE 'other' END AS cls, count(*) AS n
+         FROM documents GROUP BY 1""",
+    "q_dedup_exact_prefix" ->
+      """SELECT substring(text, 1, 30) AS prefix, count(*) AS n
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q_embedding_stats" ->
+      """SELECT label, count(*) AS n,
+         min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1,
+         CAST(min(len(embedding)) AS INT) AS min_dim,
+         CAST(max(len(embedding)) AS INT) AS max_dim
+         FROM embeddings GROUP BY 1"""
   )
 }

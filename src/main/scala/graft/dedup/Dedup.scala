@@ -1,0 +1,177 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.{Shingles, TextFunctions}
+
+/** Deduplication family for web-scale corpora. All methods are
+  * DataFrame-in/DataFrame-out, deterministic (hash-seeded, no RNG), and
+  * shuffle only compact keys/signatures — never full text — so they scale
+  * to the 10^12-row regime:
+  *
+  *  - exact: fingerprint groupBy (one shuffle of 8-byte keys)
+  *  - MinHash + LSH: shingle → minhash signature → banded buckets →
+  *    candidate pairs → exact Jaccard verify (classic Broder/LSH pipeline)
+  *  - SimHash: 64-bit sketch + banded hamming candidates
+  *  - n-gram Jaccard: exact verify used standalone for small candidate sets
+  *  - embedding cosine: see graft.sim.Similarity
+  */
+object Dedup {
+
+  /** Exact duplicates by canonical fingerprint: one row per duplicate
+    * GROUP (size > 1) with member ids. At scale the collect_list is bounded
+    * by group size; use `exactDuplicateRows` for the row-level variant.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("id"))).as("ids"))
+      .where(col("n") > 1)
+
+  /** Rows that belong to some exact-duplicate group, keeping the smallest
+    * id per group as the canonical survivor (`keep = id == min(ids)`).
+    */
+  def exactDuplicateRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+    val groups = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+      .where(col("n") > 1)
+    fp.join(groups, Seq("fp"))
+      .withColumn("keep", col(idCol) === col("keep_id"))
+  }
+
+  /** MinHash signature as `numHashes` independent min-hashes of the word
+    * k-shingle set. Hash family: xxhash64(shingle, seed=j) — deterministic,
+    * mergeable, no RNG.
+    */
+  def withMinHash(df: DataFrame, textCol: String,
+      numHashes: Int = 64, k: Int = 3,
+      out: String = "minhash"): DataFrame = {
+    val sh = Shingles.wordShingles(col(textCol), k)
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      j => coalesce(
+        array_min(transform(sh, s => xxhash64(s, j))),
+        xxhash64(coalesce(col(textCol), lit("")), j)))
+    df.withColumn(out, sig)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rows = numHashes / bands` hashes, hash each band, equi-join on
+    * (band index, band hash). Docs sharing ≥1 band collide; the equi-join
+    * keeps the shuffle hash-partitioned (no theta join).
+    * Returns distinct (a_id, b_id) with a_id < b_id.
+    */
+  def lshCandidates(withSig: DataFrame, idCol: String,
+      bands: Int, out: String = "minhash"): DataFrame = {
+    val exploded = withSig.select(
+      col(idCol).as("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(slice(col(out),
+            b * (size(col(out)) / bands) + 1,
+            size(col(out)) / bands).cast("array<string>")).as("bh"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = exploded.select(col("band"), col("bh"), col("id").as("a_id"))
+    val b = exploded.select(col("band"), col("bh"), col("id").as("b_id"))
+    a.join(b, Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Exact Jaccard similarity of word k-shingle sets for given id pairs —
+    * the verify stage after LSH candidate generation.
+    */
+  def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      Shingles.wordShingles(col(textCol), k).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), Seq("a_id"))
+      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → banded buckets →
+    * candidates → exact-Jaccard verify → pairs with jaccard ≥ threshold.
+    */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      k: Int = 3): DataFrame = {
+    val withSig = withMinHash(df, textCol, numHashes, k)
+    val cands = lshCandidates(withSig, idCol, bands)
+    jaccardVerify(df, cands, idCol, textCol, k)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs (quadratic — small inputs or
+    * post-bucket use only; the scale path is [[minHashNearDups]]).
+    */
+  def ngramJaccardAllPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    val ids = df.select(col(idCol).as("a_id"))
+      .crossJoin(df.select(col(idCol).as("b_id")))
+      .where(col("a_id") < col("b_id"))
+    jaccardVerify(df, ids, idCol, textCol, k).where(col("jaccard") >= threshold)
+  }
+
+  // --- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash of the word k-shingle set: bit b is 1 iff the sum of
+    * (2·bit_b(h(shingle)) − 1) over shingles is positive. Pure expressions:
+    * one aggregate per bit over the shingle-hash array.
+    */
+  def withSimHash(df: DataFrame, textCol: String, k: Int = 3,
+      out: String = "simhash"): DataFrame = {
+    val hashes = transform(Shingles.wordShingles(col(textCol), k),
+      s => xxhash64(s))
+    // shiftright/shiftleft with a COLUMN shift amount need the SQL function
+    // (the Scala helper only takes an Int literal)
+    def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
+    def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shr(h, b).bitwiseAND(lit(1L)) * 2L - 1L)) > 0, lit(1L))
+        .otherwise(lit(0L)))
+    val packed = aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => shl(bit, i)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    df.withColumn(out, packed)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming. Candidate
+    * generation by the pigeonhole principle: split 64 bits into
+    * (maxHamming + 1) bands — any pair within distance shares ≥1 exact
+    * band; equi-join on band value, then exact `bit_count(a^b)` verify.
+    */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, k: Int = 3): DataFrame = {
+    val bandsN = maxHamming + 1
+    val width = 64 / bandsN
+    val withSig = withSimHash(df, textCol, k)
+      .select(col(idCol).as("id"), col("simhash"))
+    val banded = withSig.select(col("id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(bandsN - 1)), b =>
+        struct(b.as("band"),
+          call_function("shiftright", col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("bv")))).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col("id").as("a_id"),
+      col("simhash").as("a_sig"))
+    val b = banded.select(col("band"), col("bv"), col("id").as("b_id"),
+      col("simhash").as("b_sig"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -21,13 +21,17 @@ object StatsPass {
   /** Long-form profile: one row per (part, column) — graft.model.ColumnProfile. */
   def profile(df: DataFrame, cfg: EngineConfig,
       columns: Seq[String] = Nil): DataFrame = {
-    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
-    val aggs: Seq[Column] = count(lit(1)).as("_rows") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-        approx_count_distinct(col(c)).as(s"_dist_$c"),
-        min(col(c).cast("string")).as(s"_min_$c"),
-        max(col(c).cast("string")).as(s"_max_$c"))
+    val named: Seq[(String, Column)] =
+      if (cfg.statsExprs.nonEmpty) cfg.statsExprs.map { case (n, e) => (n, expr(e)) }
+      else if (columns.nonEmpty) columns.map(c => (c, col(c)))
+      else df.columns.toSeq.map(c => (c, col(c)))
+    val cols = named.map(_._1)
+    val aggs: Seq[Column] = count(lit(1)).as("_rows") +: named.flatMap {
+      case (c, e) => Seq(
+        sum(when(e.isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        approx_count_distinct(e).as(s"_dist_$c"),
+        min(e.cast("string")).as(s"_min_$c"),
+        max(e.cast("string")).as(s"_max_$c"))
     }
     val wide = df
       .groupBy(expr(cfg.partExpr).cast("string").as("part"))
@@ -68,8 +72,10 @@ object StatsPass {
     */
   def histogram(df: DataFrame, cfg: EngineConfig, exprSql: String,
       binWidth: Double): DataFrame = {
-    df.select(expr(cfg.partExpr).cast("string").as("part"),
+    df.select(
+        coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("part"),
         floor(expr(exprSql).cast("double") / binWidth).as("bin"))
+      .where(col("bin").isNotNull) // null-rates live in the profile pass
       .groupBy(col("part"), col("bin"))
       .agg(count(lit(1)).as("n"))
   }

@@ -179,6 +179,17 @@ object PagesRules {
 
   val UrlPattern = "^https?://[^ ]+$"
 
+  /** Stats-pass expressions for pages: derived lengths instead of full
+    * text/html bodies (min/max/HLL over megabyte strings is wasted IO+CPU;
+    * length distributions are what the drift checks consume anyway).
+    */
+  val statsExprs: Seq[(String, String)] = Seq(
+    "url" -> "url",
+    "warc_ts" -> "warc_ts",
+    "lang" -> "lang",
+    "text_len" -> "length(text)",
+    "html_len" -> "octet_length(html)")
+
   def catalog: Seq[ValidationRule] = Seq(
     Required(UrlRequired, "url"),
     Required(TextRequired, "text"),

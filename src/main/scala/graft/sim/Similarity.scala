@@ -1,0 +1,132 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact; broadcast the small query
+  * side, shuffle nothing but (query, id, score) triples). Scale path:
+  * deterministic random-hyperplane LSH buckets — candidates share a bucket,
+  * exact cosine verified inside buckets only.
+  */
+object Similarity {
+
+  /** dot(a,b) as a pure expression (zip_with + aggregate — codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbours for each query row (queries small ⇒ broadcast;
+    * ties broken by id for determinism).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("q_id"),
+        col(qVecCol).cast("array<double>").as("q_vec"))))
+      .withColumn("score", cosine(col("vec"), col("q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "score", "rank")
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane component for (plane, dim):
+    * sign of xxhash64(plane, dim, seed). No RNG — identical across runs and
+    * parallelism levels.
+    */
+  private def planeSign(p: Column, i: Column, seed: Long): Column =
+    when(pmod(xxhash64(p, i, lit(seed)), lit(2L)) === 0, 1.0).otherwise(-1.0)
+
+  /** Random-hyperplane (SRP) LSH bucket id: `planes` sign bits packed into
+    * a long. Vectors with small angle collide with high probability.
+    */
+  def srpBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeSign(p, i, seed)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(planes - 1)),
+        (b, i) => b * call_function("shiftleft", lit(1L), i)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** LSH-bucketed ANN: assign corpus and queries to SRP buckets (several
+    * independent tables to boost recall), equi-join on (table, bucket),
+    * exact-cosine verify, keep top-k per query. Approximate: recall < 1,
+    * measured against [[bruteForceTopK]] in tests.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // each table uses an independent plane family (seed offset), so a miss
+    // in one table can be caught by another
+    def bucketedSeeded(df: DataFrame, id: String, vec: String, pfx: String) = {
+      val base = df.select(col(id).as(s"${pfx}_id"),
+        col(vec).cast("array<double>").as(s"${pfx}_vec"))
+      val cols = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          srpBucket(col(s"${pfx}_vec"), planes, 42L + 1000L * t).as("bucket")))
+      base.select(col(s"${pfx}_id"), col(s"${pfx}_vec"),
+        explode(array(cols: _*)).as("tb"))
+        .select(col(s"${pfx}_id"), col(s"${pfx}_vec"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+
+    val c = bucketedSeeded(corpus, idCol, vecCol, "c")
+    val q = bucketedSeeded(queries, qIdCol, qVecCol, "q")
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .select(col("q_id"), col("c_id").as("id"),
+        cosine(col("c_vec"), col("q_vec")).as("score"))
+      .groupBy(col("q_id"), col("id")).agg(max(col("score")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "score", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup flavour): SRP buckets,
+    * exact cosine within bucket, threshold.
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 10, tables: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val cols = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        srpBucket(col("vec"), planes, 42L + 1000L * t).as("bucket")))
+    val banded = base.select(col("id"), col("vec"),
+      explode(array(cols: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val a = banded.select(col("tbl"), col("bucket"), col("id").as("a_id"),
+      col("vec").as("a_vec"))
+    val b = banded.select(col("tbl"), col("bucket"), col("id").as("b_id"),
+      col("vec").as("b_vec"))
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_vec"), col("b_vec")).as("cosine"))
+      .groupBy(col("a_id"), col("b_id")).agg(max(col("cosine")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

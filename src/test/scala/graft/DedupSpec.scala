@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // near-dup corpus: 1/2 exact dups (mod whitespace), 3 a near-dup of 1,
+  // 4/5 unrelated, 6 a near-dup of 4
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick  brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),
+    (4L, "spark shuffles data between executors during wide transformations like joins"),
+    (5L, "completely different content about cooking pasta with tomato sauce basil"),
+    (6L, "spark shuffles data between executors during wide transformations like unions")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds whitespace-canonical duplicates with survivor pick") {
+    val groups = Dedup.exactDuplicates(docs, "doc_id", "text")
+    val got = groups.select("ids").as[Seq[Long]].collect()
+    assert(got.length === 1 && got.head === Seq(1L, 2L))
+    val rows = Dedup.exactDuplicateRows(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(rows === Map(1L -> true, 2L -> false))
+  }
+
+  test("minhash signatures: identical sets → identical sigs, deterministic") {
+    val sigs = Dedup.withMinHash(docs, "text", numHashes = 32)
+      .select("doc_id", "minhash").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) === sigs(2L)) // same shingle set
+    assert(sigs(1L) !== sigs(4L))
+    val again = Dedup.withMinHash(docs.repartition(5), "text", numHashes = 32)
+      .select("doc_id", "minhash").as[(Long, Seq[Long])].collect().toMap
+    assert(again === sigs)
+  }
+
+  test("minhash-LSH near-dup pipeline agrees with brute-force n-gram jaccard") {
+    val brute = Dedup.ngramJaccardAllPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 64, bands = 32)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    // with 32 bands of 2 rows, recall at jaccard >= 0.5 is ~1 on this corpus
+    assert(lsh === brute, s"lsh=$lsh brute=$brute")
+    assert(lsh.contains((1L, 2L)) && lsh.contains((1L, 3L)) && lsh.contains((4L, 6L)))
+    assert(!lsh.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
+  test("jaccard values are exact") {
+    val pairs = Seq((1L, 3L)).toDF("a_id", "b_id")
+    val j = Dedup.jaccardVerify(docs, pairs, "doc_id", "text", k = 3)
+      .select("jaccard").as[Double].head()
+    // 14 tokens → 12 distinct shingles each; only the shingle containing the
+    // final word differs → intersection 11, union 13
+    assert(math.abs(j - 11.0 / 13.0) < 1e-12, s"j=$j")
+  }
+
+  test("simhash: identical → distance 0; near-dups within small hamming; found by banding") {
+    val sigs = Dedup.withSimHash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 16)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs((1L, 2L)) === 0L)
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs((1L, 3L)) <= 16L)
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+}

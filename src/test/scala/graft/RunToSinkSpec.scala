@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.fixtures.{PagesGen, PagesRules}
+
+/** The production sink path (single-decode projection) must produce exactly
+  * the same violations/verdicts/profiles as the composable [[ValidationEngine.run]].
+  */
+class RunToSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("runToSink == run (violations, verdicts, profile counts, histograms)") {
+    val data = PagesGen.generate(spark, nRows = 8000L, nDays = 4)
+    val cfg = EngineConfig(
+      keyExpr = "url", partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      uniquenessSalts = 8,
+      statsExprs = PagesRules.statsExprs,
+      histograms = Seq(("text_len", "length(text)", 25.0)))
+    val sink = Files.createTempDirectory("sink").toString
+
+    val a = ValidationEngine.run(data.pages, PagesRules.catalog,
+      Map("hosts" -> data.hosts), cfg)
+    val b = ValidationEngine.runToSink(data.pages, PagesRules.catalog,
+      Map("hosts" -> data.hosts), cfg, sink)
+
+    def vioSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "part", "rule_id").as[(String, String, String)]
+        .collect().toSet
+    assert(vioSet(a.violations) === vioSet(b.violations))
+
+    def verdictMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Long, Boolean)].collect()
+        .map(v => (v._1, v._2) -> (v._3, v._4, v._5)).toMap
+    assert(verdictMap(a.verdicts) === verdictMap(b.verdicts))
+
+    // profiles agree on counts/null-rates for the shared column set
+    def profMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("part", "column", "rowCount", "nullCount")
+        .as[(String, String, Long, Long)].collect()
+        .map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    assert(profMap(a.profiles) === profMap(b.profiles))
+
+    // histogram sink matches a direct histogram pass
+    val direct = StatsPass.histogram(data.pages, cfg, "length(text)", 25.0)
+      .as[(String, Long, Long)].collect().toSet
+    val sunk = spark.read.parquet(s"$sink/hist_text_len")
+      .as[(String, Long, Long)].collect().toSet
+    assert(sunk === direct)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  // clustered corpus: 3 clusters of near-identical directions in R^8
+  private def vec(base: Int, wobble: Int): Seq[Float] =
+    (0 until 8).map(i => (if (i % 3 == base) 10f else 1f) +
+      0.05f * ((wobble * (i + 1)) % 7))
+
+  private lazy val corpus = (0 until 30).map(i =>
+    (i.toLong, vec(i % 3, i))).toDF("vec_id", "embedding")
+  private lazy val queries = Seq(
+    (100L, vec(0, 99)), (101L, vec(1, 55)), (102L, vec(2, 77))
+  ).toDF("q_id", "q_vec")
+
+  test("cosine: exact values on known vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(2.0, 4.0)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: neighbours come from the query's own cluster, deterministic order") {
+    val top = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+    val byQ = top.select("q_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ(100L).forall(_ % 3 == 0), byQ(100L).toString)
+    assert(byQ(101L).forall(_ % 3 == 1))
+    assert(byQ(102L).forall(_ % 3 == 2))
+    // rank 1..k, unique per query
+    val ranks = top.groupBy("q_id").agg(collect_list("rank").as("r"))
+      .select("r").as[Seq[Int]].collect()
+    ranks.foreach(r => assert(r.sorted === (1 to 5)))
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5, planes = 8, tables = 4)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall lsh=$lsh")
+  }
+
+  test("cosine near-dups: same-cluster pairs only, above threshold") {
+    val small = (0 until 12).map(i => (i.toLong, vec(i % 3, i)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(small, "vec_id", "embedding",
+      threshold = 0.99, planes = 6, tables = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(a % 3 === b % 3, s"($a,$b)") }
+  }
+
+  test("SRP buckets are deterministic across runs and partitioning") {
+    val b1 = corpus.select($"vec_id",
+      Similarity.srpBucket($"embedding".cast("array<double>"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = corpus.repartition(7).select($"vec_id",
+      Similarity.srpBucket($"embedding".cast("array<double>"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 === b2)
+  }
+}

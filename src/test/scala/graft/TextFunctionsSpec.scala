@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Shingles, TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokens and token counts handle empty/null/whitespace") {
+    val df = Seq("a b  c", "", "   ", "one").toDF("text")
+    val got = df.select(TF.tokenCount($"text").as("n")).as[Int].collect().toSeq
+    assert(got === Seq(3, 0, 0, 1))
+  }
+
+  test("bpe-ish token count splits letters/digits/punctuation") {
+    val got = Seq("hello, world 42!").toDF("text")
+      .select(TF.bpeishTokenCount($"text").as("n")).as[Int].head()
+    // hello , world 42 ! → 5
+    assert(got === 5)
+  }
+
+  test("langId picks the dominant stopword language, 'und' when none") {
+    val df = Seq(
+      ("the cat and the dog was in that house", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("le chat est dans les maisons et la ville", "fr"),
+      ("el perro es una de las cosas que hay por aqui en la casa", "es"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "want")
+    val wrong = df.withColumn("got", TF.langId($"text"))
+      .where($"got" =!= $"want")
+    assert(wrong.isEmpty, wrong.collect().mkString(","))
+  }
+
+  test("quality score: clean prose beats punctuation soup") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog and it was good for all of us", "clean"),
+      ("@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))", "soup")
+    ).toDF("text", "tag")
+    val scores = df.select($"tag", TF.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("clean") > 0.5)
+    assert(scores("soup") < 0.3 && scores("clean") > 2 * scores("soup"))
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint is case/whitespace-canonical but content-sensitive") {
+    val df = Seq(
+      ("Hello   World", 1), ("hello world", 2), ("hello  world ", 3),
+      ("hello word", 4)
+    ).toDF("text", "id")
+    val fps = df.select($"id", TF.fingerprint($"text").as("fp"))
+      .as[(Int, Long)].collect().toMap
+    assert(fps(1) === fps(2) && fps(2) === fps(3))
+    assert(fps(1) !== fps(4))
+  }
+
+  test("word shingles: k-grams, deduped; short docs degrade gracefully") {
+    val got = Seq("a b c d").toDF("text")
+      .select(Shingles.wordShingles($"text", 3).as("s"))
+      .as[Seq[String]].head()
+    assert(got.toSet === Set("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(Shingles.wordShingles($"text", 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short === Seq("a b"))
+    val empty = Seq("").toDF("text")
+      .select(Shingles.wordShingles($"text", 3).as("s"))
+      .as[Seq[String]].head()
+    assert(empty === Seq.empty)
+  }
+}
