@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.engine.EngineConfig
+import graft.fixtures.{PagesGen, PagesRules}
+import graft.streaming.StreamingValidation
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("foreachBatch streaming pass emits the same violations as batch") {
+    val data = PagesGen.generate(spark, nRows = 3000L, nDays = 3)
+    val cfg = EngineConfig(keyExpr = "url",
+      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')", uniquenessSalts = 4)
+    val rules = PagesRules.catalog.filterNot(_.isInstanceOf[graft.rules.Unique])
+
+    // batch truth
+    val batchVios = graft.engine.ValidationEngine
+      .run(data.pages, rules, Map("hosts" -> data.hosts), cfg)
+      .violations.select("key", "rule_id").as[(String, String)].collect().toSet
+
+    // stream the same rows through a MemoryStream in 3 chunks
+    implicit val sqlCtx = spark.sqlContext
+    case class P(url: String, warc_ts: java.sql.Timestamp,
+      html: Array[Byte], text: String, lang: String)
+    val rows = data.pages.collect().map(r => (
+      if (r.isNullAt(0)) null else r.getString(0),
+      r.getTimestamp(1),
+      if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2),
+      if (r.isNullAt(3)) null else r.getString(3),
+      if (r.isNullAt(4)) null else r.getString(4)))
+    val stream = MemoryStream[(String, java.sql.Timestamp, Array[Byte], String, String)]
+    val sink = Files.createTempDirectory("stream_sink").toString + "/v"
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+
+    val sdf = stream.toDF().toDF("url", "warc_ts", "html", "text", "lang")
+    val writer = StreamingValidation.validateStream(sdf, rules,
+      Map("hosts" -> data.hosts), cfg, sink, ckpt)
+
+    rows.grouped(1000).foreach(chunk => stream.addData(chunk.toSeq))
+    val q = writer.start()
+    q.awaitTermination(120000)
+
+    val streamVios = spark.read.parquet(sink)
+      .select("key", "rule_id").as[(String, String)].collect().toSet
+    assert(streamVios === batchVios)
+    // lineage: batch ids recorded
+    assert(spark.read.parquet(sink).select("batch_id").distinct().count() >= 1)
+  }
+
+  test("watermarked windowed violation counts run and aggregate") {
+    // events-shaped stream with a planted bad enum value
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "event_type")
+    val rules: Seq[graft.rules.ValidationRule] = Seq(
+      graft.rules.Allowed("valid_type", "event_type",
+        Seq("click", "view", "purchase", "signup")))
+    val counts = StreamingValidation.windowedViolationCounts(
+      df, rules, EngineConfig("event_type", "'s'"), "ts",
+      windowLength = "10 minutes", lateness = "1 minute")
+
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("wvc").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData(Seq((ts(1), "click"), (ts(2), "error"), (ts(3), "error")))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first window
+    stream.addData(Seq((ts(30), "click")))
+    q.processAllAvailable()
+    stream.addData(Seq((ts(45), "view")))
+    q.processAllAvailable()
+    stream.addData(Seq((ts(59), "view"))) // one more batch to flush state
+    q.processAllAvailable()
+    val out = spark.sql("SELECT rule_id, violations FROM wvc")
+      .as[(String, Long)].collect().toSet
+    q.stop()
+    assert(out === Set(("valid_type", 2L)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{StringFunctions => SF}
+
+/** Replays the reference string-util corpus (tests/test_utils.py,
+  * tests/test_string_utils.py) against the Column implementations.
+  */
+class StringFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def f(c: org.apache.spark.sql.Column, v: String): String =
+    Seq(Option(v)).toDF("v").select(c.as("r")).as[String].head()
+
+  test("minimize_whitespace corpus (utils.py:27-31)") {
+    assert(f(SF.minimizeWhitespace($"v"), "    This is a test string") ===
+      "This is a test string")
+    assert(f(SF.minimizeWhitespace($"v"), "This is a test string    ") ===
+      "This is a test string")
+    assert(f(SF.minimizeWhitespace($"v"), "This is a test\nstring") ===
+      "This is a teststring")
+    // verified against Python: re.sub(r"(^\s+|[\n\r]+)", "", v, MULTILINE).strip()
+    assert(f(SF.minimizeWhitespace($"v"), "  a\n   b\r\n c  ") === "abc")
+  }
+
+  test("linebreakto joins all line-break flavours (string_utils.py:19-21)") {
+    assert(f(SF.linebreakTo($"v", ", "), "a\nb\r\nc\rd") === "a, b, c, d")
+  }
+
+  test("unslug (string_utils.py:24-26)") {
+    assert(f(SF.unslug($"v"), "a_b_c") === "a b c")
+  }
+
+  test("mailto wraps valid emails, passes others (string_utils.py:10-16)") {
+    assert(f(SF.mailto($"v"), "a@b.com") ===
+      "<a href=\"mailto:a@b.com\">a@b.com</a>")
+    assert(f(SF.mailto($"v"), "not an email") === "not an email")
+  }
+
+  test("invoice name INV-%03d (invoice.py:127-128)") {
+    val got = Seq(1L, 42L, 1234L).toDF("v")
+      .select(SF.invoiceName($"v").as("r")).as[String].collect().toSeq
+    assert(got === Seq("INV-001", "INV-042", "INV-1234"))
+  }
+
+  test("truncate255 (booking.py:340)") {
+    assert(f(SF.truncate255($"v"), "x" * 300).length === 255)
+    assert(f(SF.truncate255($"v"), "short") === "short")
+  }
+
+  test("title strip (dummydata.py:82-87)") {
+    assert(f(SF.stripTitle($"v"), "Dr Jane Smith") === "Jane Smith")
+    assert(f(SF.stripTitle($"v"), "Professor X") === "X")
+    assert(f(SF.stripTitle($"v"), "mr. bob") === "bob")
+    assert(f(SF.stripTitle($"v"), "Drone Pilot") === "Drone Pilot") // no false prefix
+  }
+
+  test("round_date_time: 10-minute floor, seconds dropped (booking.py:66-70)") {
+    val got = Seq("2017-05-21 10:17:43").toDF("v")
+      .select(SF.roundDateTime10Min(to_timestamp($"v"))
+        .cast("string").as("r")).as[String].head()
+    assert(got === "2017-05-21 10:10:00")
+  }
+
+  test("choice_length (utils.py:13-14, test corpus value 5)") {
+    assert(SF.choiceLength(Seq("one", "two", "three", "empty")) === 5)
+  }
+
+  test("icontains is case-insensitive substring (filters.py:46)") {
+    val got = Seq("Bob SMITH", "eve", "smithy").toDF("v")
+      .where(SF.icontains($"v", "Smith")).as[String].collect().toSeq
+    assert(got === Seq("Bob SMITH", "smithy"))
+  }
+}
