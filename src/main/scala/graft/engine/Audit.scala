@@ -39,11 +39,14 @@ final class AuditLog(dir: String, spark: SparkSession) {
     if (exists(verdictsDir)) spark.read.parquet(verdictsDir)
     else spark.emptyDataFrame
 
-  /** Partitions that already have verdict rows — the resume watermark. */
+  /** Data partitions that already have verdict rows — the resume watermark.
+    * The "(global)" scope row (uniqueness verdicts) is not a data partition
+    * and never gates a resume.
+    */
   def validatedParts(): Set[String] =
     if (!exists(verdictsDir)) Set.empty
     else spark.read.parquet(verdictsDir).select("part").distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getString(0)).toSet - ValidationEngine.GlobalPart
 }
 
 object Audit {

@@ -32,8 +32,11 @@ object Uniqueness {
     pmod(xxhash64(expr(cfg.partExpr)), lit(salts.toLong))
 
   /** One violation per DISTINCT duplicated key value (message carries the
-    * multiplicity). `part` is the first partition the key was seen in
-    * (min), making the verdict deterministic.
+    * multiplicity). Uniqueness is a cross-partition GLOBAL rule, so its
+    * violations carry the `(global)` scope rather than a data partition —
+    * this also keeps BOTH aggregation phases pure HashAggregate (carrying
+    * a min(part-string) through them would force SortAggregate: string
+    * buffers are not hash-mutable).
     */
   def duplicateKeyViolations(df: DataFrame, rule: Unique,
       cfg: EngineConfig): DataFrame = {
@@ -43,17 +46,16 @@ object Uniqueness {
       .where(rule.columns.map(col(_).isNotNull).reduce(_ && _))
       .select(
         concat_ws("\u001f", rule.columns.map(c => coalesce(col(c).cast("string"), lit("(null)"))): _*).as("_ukey"),
-        expr(cfg.partExpr).cast("string").as("_part"),
         saltCol(cfg, cfg.uniquenessSalts).as("_salt"))
       .groupBy(col("_ukey"), col("_salt"))
-      .agg(count(lit(1)).as("_n"), min(col("_part")).as("_p"))
+      .agg(count(lit(1)).as("_n"))
     partial
       .groupBy(col("_ukey"))
-      .agg(sum(col("_n")).as("n"), min(col("_p")).as("part"))
+      .agg(sum(col("_n")).as("n"))
       .where(col("n") > 1)
       .select(
         col("_ukey").as("key"),
-        coalesce(col("part"), lit("(null)")).as("part"),
+        lit(ValidationEngine.GlobalPart).as("part"),
         lit(rule.ruleId).as("rule_id"),
         lit(rule.path).as("path"),
         concat(lit(if (rule.message.nonEmpty) rule.message

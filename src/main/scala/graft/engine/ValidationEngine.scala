@@ -45,6 +45,9 @@ final case class ValidationResult(
 
 object ValidationEngine {
 
+  /** Scope label for cross-partition (global) rules like uniqueness. */
+  val GlobalPart = "(global)"
+
   val violationCols: Seq[String] =
     Seq("key", "part", "rule_id", "path", "message", "severity")
 
@@ -84,18 +87,22 @@ object ValidationEngine {
         lit(r.severity).as("severity")))
     }
     val allStructs = rowStructs ++ refStructs
+    // CreateArray + Generate + Filter are all whole-stage-codegen'd; the
+    // tempting alternative — filter(array(...), _.isNotNull) — is a
+    // higher-order function, which is CodegenFallback and would drop the
+    // ENTIRE projection (regexes included) to interpreted evaluation, and
+    // a size(...) > 0 pre-filter would evaluate the rule array twice.
     val vioArr =
       if (allStructs.isEmpty)
         array().cast("array<struct<rule_id:string,path:string,message:string,severity:string>>")
-      else filter(array(allStructs: _*), v => v.isNotNull)
+      else array(allStructs: _*)
 
     joined
       .select(
         coalesce(expr(cfg.keyExpr).cast("string"), lit("(null)")).as("key"),
         coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("part"),
-        vioArr.as("_violations"))
-      .where(size(col("_violations")) > 0)
-      .select(col("key"), col("part"), explode(col("_violations")).as("v"))
+        explode(vioArr).as("v"))
+      .where(col("v").isNotNull)
       .select(col("key"), col("part"),
         col("v.rule_id").as("rule_id"), col("v.path").as("path"),
         col("v.message").as("message"), col("v.severity").as("severity"))
@@ -119,20 +126,12 @@ object ValidationEngine {
     val profiles = StatsPass.profile(df, cfg)
 
     // Verdicts: per-(part, rule) violation counts joined to per-part checked
-    // counts (from the stats pass — no extra scan of the source).
+    // counts (from the stats pass — no extra scan of the source). Global
+    // rules (uniqueness) get one verdict row scoped "(global)" with
+    // checked = total rows.
     val checked = profiles
       .groupBy(col("part")).agg(max(col("rowCount")).as("checked"))
-    val ruleIds = rules.map(r => (r.ruleId, r.severity))
-    val spark = df.sparkSession
-    val allRules = spark.createDataFrame(ruleIds).toDF("rule_id", "severity")
-    val vioCounts = violations.groupBy(col("part"), col("rule_id"))
-      .agg(count(lit(1)).as("violations"))
-    val verdicts = checked.crossJoin(broadcast(allRules.select(col("rule_id"))))
-      .join(vioCounts, Seq("part", "rule_id"), "left")
-      .select(
-        col("part"), col("rule_id"), col("checked"),
-        coalesce(col("violations"), lit(0L)).as("violations"),
-        (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
+    val verdicts = assembleVerdicts(df.sparkSession, rules, violations, checked)
 
     ValidationResult(violations, verdicts, profiles)
   }
@@ -168,10 +167,13 @@ object ValidationEngine {
           lit(RuleCompiler.message(r)).as("message"),
           lit(r.severity).as("severity")))
       }
+    // nulls kept in the array (compacting via the filter() HOF would be
+    // CodegenFallback and de-codegen the whole projection) — the explode
+    // consumer filters them, columnar caching stores them for ~free
     val vioArr =
       if (allStructs.isEmpty)
         array().cast("array<struct<rule_id:string,path:string,message:string,severity:string>>")
-      else filter(array(allStructs: _*), v => v.isNotNull)
+      else array(allStructs: _*)
 
     val statsCols = cfg.statsExprs.map { case (n, e) => expr(e).as(s"_s_$n") }
     val histCols = cfg.histograms.map { case (n, e, _) => expr(e).as(s"_h_$n") }
@@ -206,8 +208,8 @@ object ValidationEngine {
     try {
       // 1. violations: row+referential (from projection) ∪ salted uniqueness
       val rowVios = projection
-        .where(size(col("_violations")) > 0)
         .select(col("_key"), col("_part"), explode(col("_violations")).as("v"))
+        .where(col("v").isNotNull)
         .select(col("_key").as("key"), col("_part").as("part"),
           col("v.rule_id").as("rule_id"), col("v.path").as("path"),
           col("v.message").as("message"), col("v.severity").as("severity"))
@@ -216,14 +218,14 @@ object ValidationEngine {
         val nonNull = keyCols.map(_.isNotNull).reduce(_ && _)
         val ukey = concat_ws("\u001f", keyCols.map(_.cast("string")): _*)
         projection.where(nonNull)
-          .select(ukey.as("_ukey"), col("_part"),
+          .select(ukey.as("_ukey"),
             pmod(xxhash64(col("_part")), lit(cfg.uniquenessSalts.toLong)).as("_salt"))
           .groupBy(col("_ukey"), col("_salt"))
-          .agg(count(lit(1)).as("_n"), min(col("_part")).as("_p"))
+          .agg(count(lit(1)).as("_n"))
           .groupBy(col("_ukey"))
-          .agg(sum(col("_n")).as("n"), min(col("_p")).as("part"))
+          .agg(sum(col("_n")).as("n"))
           .where(col("n") > 1)
-          .select(col("_ukey").as("key"), col("part"),
+          .select(col("_ukey").as("key"), lit(GlobalPart).as("part"),
             lit(r.ruleId).as("rule_id"), lit(r.path).as("path"),
             concat(lit(if (r.message.nonEmpty) r.message
                        else s"duplicate value for unique(${r.path}): n="),
@@ -276,15 +278,7 @@ object ValidationEngine {
       val profiles = spark.read.parquet(s"$sinkDir/profiles")
       val checked = profiles.groupBy(col("part"))
         .agg(max(col("rowCount")).as("checked"))
-      val allRules = spark.createDataFrame(rules.map(r => Tuple1(r.ruleId)))
-        .toDF("rule_id")
-      val vioCounts = violations.groupBy(col("part"), col("rule_id"))
-        .agg(count(lit(1)).as("violations"))
-      checked.crossJoin(broadcast(allRules))
-        .join(vioCounts, Seq("part", "rule_id"), "left")
-        .select(col("part"), col("rule_id"), col("checked"),
-          coalesce(col("violations"), lit(0L)).as("violations"),
-          (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
+      assembleVerdicts(spark, rules, violations, checked)
         .write.mode("overwrite").parquet(s"$sinkDir/verdicts")
 
       ValidationResult(violations,
@@ -292,5 +286,36 @@ object ValidationEngine {
     } finally {
       if (cfg.persistProjection) projection.unpersist()
     }
+  }
+
+  /** Per-partition verdicts for partition-scoped rules; one "(global)"
+    * verdict per global rule (uniqueness) with checked = total rows.
+    */
+  private def assembleVerdicts(spark: SparkSession,
+      rules: Seq[ValidationRule], violations: DataFrame,
+      checked: DataFrame): DataFrame = {
+    val uniqueIds = rules.collect { case r: Unique => r.ruleId }
+    val partRules = rules.filterNot(r => uniqueIds.contains(r.ruleId))
+    val vioCounts = violations.groupBy(col("part"), col("rule_id"))
+      .agg(count(lit(1)).as("violations"))
+
+    val partVerdicts = {
+      val rulesDf = spark.createDataFrame(partRules.map(r => Tuple1(r.ruleId)))
+        .toDF("rule_id")
+      checked.crossJoin(broadcast(rulesDf))
+        .join(vioCounts, Seq("part", "rule_id"), "left")
+    }
+    val globalVerdicts = if (uniqueIds.isEmpty) None else Some {
+      val rulesDf = spark.createDataFrame(uniqueIds.map(Tuple1(_)))
+        .toDF("rule_id")
+      checked.agg(sum(col("checked")).as("checked"))
+        .select(lit(GlobalPart).as("part"), col("checked"))
+        .crossJoin(broadcast(rulesDf))
+        .join(vioCounts, Seq("part", "rule_id"), "left")
+    }
+    (Seq(partVerdicts) ++ globalVerdicts).reduce(_.unionByName(_))
+      .select(col("part"), col("rule_id"), col("checked"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
   }
 }

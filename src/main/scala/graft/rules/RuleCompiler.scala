@@ -63,8 +63,13 @@ object RuleCompiler {
       lit(rule.severity).as("severity")
     ))
 
-  /** All row rules compiled to one compact `array<struct>` column
-    * (nulls filtered with the higher-order `filter` — stays codegen'd).
+  /** All row rules compiled to one compact `array<struct>` column.
+    *
+    * NOTE: the null-compaction uses the higher-order `filter`, which is
+    * CodegenFallback — convenient for streaming aggregations and tests,
+    * but the batch hot path (ValidationEngine.rowPass / buildProjection)
+    * deliberately uses raw `array(...)` + explode + IS NOT NULL instead,
+    * which stays entirely inside whole-stage codegen.
     */
   def violationsArray(rules: Seq[RowRule]): Column =
     if (rules.isEmpty) array().cast("array<struct<rule_id:string,path:string,message:string,severity:string>>")

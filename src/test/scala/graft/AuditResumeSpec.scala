@@ -44,7 +44,7 @@ class AuditResumeSpec extends SparkSuite {
       Map("hosts" -> data.hosts), cfg, dir, "run3")
     assert(r3.isDefined)
     val newParts = r3.get.verdicts.select("part").distinct()
-      .as[String].collect().toSet
+      .as[String].collect().toSet - graft.engine.ValidationEngine.GlobalPart
     assert(newParts === parts.drop(2).toSet)
     assert(audit.validatedParts() === parts.toSet)
 
