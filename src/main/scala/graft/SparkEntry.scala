@@ -266,6 +266,62 @@ object SparkEntry {
           max(size(col("embedding"))).as("max_dim"))
     }),
 
+    // W8: calendar bucketing — batch window() as grouping expression
+    // (views/booking.py:141-164 15-minute slots)
+    "q_window_bucket_15m" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes").getField("start").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total"))
+    }),
+
+    // W9: 10-minute floor rounding (booking.py:66-70)
+    "q_round_10min" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(graft.functions.StringFunctions
+          .roundDateTime10Min(col("ts")).as("slot"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // P6: case-insensitive substring filter (filters.py:46-47)
+    "q_icontains" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .where(graft.functions.StringFunctions.icontains(col("c_name"), "er"))
+        .select("c_custkey", "c_name")
+    }),
+
+    // J8: dedup after join fanout (filters.py:128-130 .distinct())
+    "q_join_dedup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(p.where(col("p_type") === "PROMO")),
+          li("l_partkey") === p("p_partkey"))
+        .select(col("o_custkey")).distinct()
+    }),
+
+    // A5: post-aggregate expression (total = adjustment + subtotal shape,
+    // invoice.py:44)
+    "q_post_agg_expr" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("subtotal"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("total_with_fee",
+          (col("subtotal") + dec(lit(10))).cast("double"))
+        .select(col("o_custkey"), col("subtotal").cast("double").as("subtotal"),
+          col("n_orders"), col("total_with_fee"))
+    }),
+
+    // F10: zero-padded format (invoice.py:127-128)
+    "q_format_string" -> ((s, dir) => {
+      t(s, dir, "orders").orderBy(col("o_orderkey")).limit(20)
+        .select(col("o_orderkey"),
+          graft.functions.StringFunctions.invoiceName(col("o_orderkey"))
+            .as("invoice_name"))
+    }),
+
     // ------------- rows-only entries (no SQL-expressible oracle) --------
 
     // full validation pass over the pages-shaped table (the flagship job)
@@ -499,6 +555,32 @@ object SparkEntry {
          min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1,
          CAST(min(len(embedding)) AS INT) AS min_dim,
          CAST(max(len(embedding)) AS INT) AS max_dim
-         FROM embeddings GROUP BY 1"""
+         FROM embeddings GROUP BY 1""",
+    "q_window_bucket_15m" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1""",
+    "q_round_10min" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts)/600)*600) AS TIMESTAMP) AS slot,
+         count(*) AS n FROM events GROUP BY 1""",
+    "q_icontains" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE lower(c_name) LIKE '%er%'""",
+    "q_join_dedup" ->
+      """SELECT DISTINCT o_custkey FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_type = 'PROMO'""",
+    "q_post_agg_expr" ->
+      """SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS subtotal,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              + CAST(10 AS DECIMAL(18,2)) AS DOUBLE) AS total_with_fee
+         FROM orders GROUP BY 1""",
+    "q_format_string" ->
+      """SELECT o_orderkey, printf('INV-%03d', o_orderkey) AS invoice_name
+         FROM orders ORDER BY o_orderkey LIMIT 20"""
   )
 }
