@@ -375,15 +375,19 @@ object SparkEntry {
 
     // MinHash-LSH near-dup pairs over the documents corpus
     "q_minhash_lsh" -> ((s, dir) => {
+      // 3-row bands: collision prob j^3 per band kills the quadratic
+      // candidate mass from mid-similarity template pages while keeping
+      // ~60% recall at j=0.35; oversized buckets are stop-banded
       graft.dedup.Dedup.minHashNearDups(t(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.35, numHashes = 64, bands = 32)
+        "doc_id", "text", threshold = 0.35, numHashes = 64, bands = 21,
+        maxBucketSize = 200)
         .orderBy("a_id", "b_id")
     }),
 
     // SimHash near-dup pairs
     "q_simhash_neardup" -> ((s, dir) => {
       graft.dedup.Dedup.simHashNearDups(t(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 7)
+        "doc_id", "text", maxHamming = 7, maxBucketSize = 200)
         .orderBy("a_id", "b_id")
     }),
 

@@ -41,19 +41,35 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("keep_id"))
   }
 
+  /** Shingle-set 64-bit hashes, materialized ONCE as a column. Crucial for
+    * performance: the signature lanes below reference this attribute 64
+    * times — were the shingle construction inlined into each lane
+    * (CollapseProject does that to single-reference/cheap exprs), every
+    * lane would re-split, re-slice and re-join the text: measured 48 ms/doc
+    * instead of <1 ms.
+    */
+  def withShingleHashes(df: DataFrame, textCol: String, k: Int,
+      out: String = "_shh"): DataFrame =
+    df.withColumn(out, graft.functions.SketchExpressions
+      .wordShingleHashes(coalesce(col(textCol), lit("")), k))
+
   /** MinHash signature as `numHashes` independent min-hashes of the word
-    * k-shingle set. Hash family: xxhash64(shingle, seed=j) — deterministic,
-    * mergeable, no RNG.
+    * k-shingle set — computed by the custom [[graft.functions.MinHashSignature]]
+    * Catalyst expression (one tight loop per row; the equivalent
+    * transform+array_min per lane is ~400x slower, see SketchExpressions).
+    * Deterministic splitmix64 lane hashing, no RNG. Empty docs fall back to
+    * a text-hash signature so they don't all collide.
     */
   def withMinHash(df: DataFrame, textCol: String,
       numHashes: Int = 64, k: Int = 3,
       out: String = "minhash"): DataFrame = {
-    val sh = Shingles.wordShingles(col(textCol), k)
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      j => coalesce(
-        array_min(transform(sh, s => xxhash64(s, j))),
-        xxhash64(coalesce(col(textCol), lit("")), j)))
-    df.withColumn(out, sig)
+    import graft.functions.SketchExpressions
+    val fallback = transform(sequence(lit(0), lit(numHashes - 1)),
+      j => xxhash64(coalesce(col(textCol), lit("")), j))
+    withShingleHashes(df, textCol, k)
+      .withColumn(out, coalesce(
+        SketchExpressions.minhashSignature(col("_shh"), numHashes), fallback))
+      .drop("_shh")
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
@@ -61,9 +77,16 @@ object Dedup {
     * (band index, band hash). Docs sharing ≥1 band collide; the equi-join
     * keeps the shuffle hash-partitioned (no theta join).
     * Returns distinct (a_id, b_id) with a_id < b_id.
+    *
+    * `maxBucketSize`: buckets larger than this are skipped entirely — a
+    * bucket of size s yields s²/2 candidate pairs, so one boilerplate
+    * bucket (cookie banners, templated pages) can dominate the whole job
+    * quadratically. Oversized buckets are the classic "stop-band" case;
+    * the skip list itself is tiny and broadcast anti-joined.
     */
   def lshCandidates(withSig: DataFrame, idCol: String,
-      bands: Int, out: String = "minhash"): DataFrame = {
+      bands: Int, out: String = "minhash",
+      maxBucketSize: Int = 500): DataFrame = {
     val exploded = withSig.select(
       col(idCol).as("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -73,8 +96,12 @@ object Dedup {
             size(col(out)) / bands).cast("array<string>")).as("bh"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = exploded.select(col("band"), col("bh"), col("id").as("a_id"))
-    val b = exploded.select(col("band"), col("bh"), col("id").as("b_id"))
+    val oversized = exploded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
+      .select("band", "bh")
+    val pruned = exploded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    val a = pruned.select(col("band"), col("bh"), col("id").as("a_id"))
+    val b = pruned.select(col("band"), col("bh"), col("id").as("b_id"))
     a.join(b, Seq("band", "bh"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -85,8 +112,12 @@ object Dedup {
     */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, k: Int = 3): DataFrame = {
+    // exact Jaccard over shingle HASH sets — identical values to the
+    // string-set computation (64-bit collision odds are negligible), one
+    // tight pass instead of rebuilding shingle strings per side
     val sh = df.select(col(idCol).as("id"),
-      Shingles.wordShingles(col(textCol), k).as("sh"))
+      graft.functions.SketchExpressions
+        .wordShingleHashes(coalesce(col(textCol), lit("")), k).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), Seq("a_id"))
       .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), Seq("b_id"))
@@ -103,9 +134,9 @@ object Dedup {
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, maxBucketSize: Int = 500): DataFrame = {
     val withSig = withMinHash(df, textCol, numHashes, k)
-    val cands = lshCandidates(withSig, idCol, bands)
+    val cands = lshCandidates(withSig, idCol, bands, maxBucketSize = maxBucketSize)
     jaccardVerify(df, cands, idCol, textCol, k)
       .where(col("jaccard") >= threshold)
   }
@@ -129,20 +160,12 @@ object Dedup {
     */
   def withSimHash(df: DataFrame, textCol: String, k: Int = 3,
       out: String = "simhash"): DataFrame = {
-    val hashes = transform(Shingles.wordShingles(col(textCol), k),
-      s => xxhash64(s))
-    // shiftright/shiftleft with a COLUMN shift amount need the SQL function
-    // (the Scala helper only takes an Int literal)
-    def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
-    def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shr(h, b).bitwiseAND(lit(1L)) * 2L - 1L)) > 0, lit(1L))
-        .otherwise(lit(0L)))
-    val packed = aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => shl(bit, i)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-    df.withColumn(out, packed)
+    import graft.functions.SketchExpressions
+    withShingleHashes(df, textCol, k)
+      .withColumn(out, coalesce(
+        SketchExpressions.simhash64(col("_shh")),
+        xxhash64(coalesce(col(textCol), lit(""))))) // empty-doc fallback
+      .drop("_shh")
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming. Candidate
@@ -151,7 +174,7 @@ object Dedup {
     * band; equi-join on band value, then exact `bit_count(a^b)` verify.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, k: Int = 3): DataFrame = {
+      maxHamming: Int = 3, k: Int = 3, maxBucketSize: Int = 500): DataFrame = {
     val bandsN = maxHamming + 1
     val width = 64 / bandsN
     val withSig = withSimHash(df, textCol, k)
@@ -163,9 +186,13 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).as("bv")))).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val a = banded.select(col("band"), col("bv"), col("id").as("a_id"),
+    val oversized = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
+      .select("band", "bv")
+    val pruned = banded.join(broadcast(oversized), Seq("band", "bv"), "left_anti")
+    val a = pruned.select(col("band"), col("bv"), col("id").as("a_id"),
       col("simhash").as("a_sig"))
-    val b = banded.select(col("band"), col("bv"), col("id").as("b_id"),
+    val b = pruned.select(col("band"), col("bv"), col("id").as("b_id"),
       col("simhash").as("b_sig"))
     a.join(b, Seq("band", "bv"))
       .where(col("a_id") < col("b_id"))

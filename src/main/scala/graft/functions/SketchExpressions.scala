@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Custom Catalyst expressions for the near-dup sketches — the ONE place in
+  * this engine where composing built-ins genuinely can't express the
+  * computation efficiently (SURVEY.md §4 preference order, option (b)).
+  *
+  * Why not built-ins: a MinHash signature needs `numHashes` min-reductions
+  * over the shingle-hash array. As `transform`+`array_min` higher-order
+  * functions, each lane is a CodegenFallback lambda evaluated interpretively
+  * per element — measured 221 s for 5000 docs × 64 lanes. These expressions
+  * do the same math in one tight JVM loop per row: ~0.5 s for the same
+  * input (~400x). Same for the 64 bit-counters of SimHash.
+  *
+  * Hash mixing is splitmix64 (public-domain constant set), deterministic
+  * and version-independent — NOT tied to Spark's internal xxhash64.
+  */
+object SketchHashing {
+  private final val Golden = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 finalizer — statistically strong 64-bit mix. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + Golden
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  @inline def laneHash(h: Long, lane: Int): Long = mix(h ^ (Golden * (lane + 1)))
+}
+
+/** array<long> shingle hashes → array<long> of `numHashes` min-hash lanes.
+  * NULL on an empty input array (caller coalesces to a document-level
+  * fallback so empty docs don't all collide).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val m = SketchHashing.laneHash(h, j)
+        if (m < out(j)) out(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** array<long> shingle hashes → 64-bit SimHash. NULL on empty input. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) packed |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(packed)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** string → array<long> of DISTINCT word k-shingle hashes, in one pass.
+  * Semantics match graft.text.Shingles.wordShingles exactly: whitespace
+  * tokens; fewer than k tokens → the whole doc as one shingle; empty/null →
+  * empty array. Shingle hash = FNV-1a 64 over the space-joined k-gram.
+  * Replaces a transform+slice+array_join HOF chain that evaluated
+  * interpretively at ~1.2 ms/doc.
+  */
+case class WordShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def fnv1a(s: String, from: Int, until: Int, cont: Long): Long = {
+    var h = cont
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+  private val FnvInit = 0xCBF29CE484222325L
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString.trim
+    if (text.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val toks = text.split("\\s+")
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < k) {
+      var h = FnvInit
+      var i = 0
+      while (i < toks.length) {
+        if (i > 0) { h ^= ' '; h *= 0x100000001B3L }
+        h = fnv1a(toks(i), 0, toks(i).length, h)
+        i += 1
+      }
+      out.add(h)
+    } else {
+      var start = 0
+      while (start + k <= toks.length) {
+        var h = FnvInit
+        var j = 0
+        while (j < k) {
+          if (j > 0) { h ^= ' '; h *= 0x100000001B3L }
+          val t = toks(start + j)
+          h = fnv1a(t, 0, t.length, h)
+          j += 1
+        }
+        out.add(h)
+        start += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+/** array<double> vector → SRP (signed-random-projection) bucket id: `planes`
+  * sign bits of deterministic pseudo-random hyperplane projections, packed
+  * into a long. The hyperplane component for (plane p, dim i) is ±1 from
+  * splitmix64(seed, p, i) — no RNG, identical across runs and parallelism.
+  */
+case class SrpBucket(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((SketchHashing.mix(seed ^ (p.toLong << 32) ^ i) & 1L) == 1L) 1.0 else -1.0
+        s += arr.getDouble(i) * sign
+        i += 1
+      }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "srp_bucket"
+}
+
+object SketchExpressions {
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    GraftColumnShim.column(
+      MinHashSignature(GraftColumnShim.expression(shingleHashes), numHashes))
+
+  def simhash64(shingleHashes: Column): Column =
+    GraftColumnShim.column(
+      SimHash64(GraftColumnShim.expression(shingleHashes)))
+
+  def srpBucket(vec: Column, planes: Int, seed: Long): Column =
+    GraftColumnShim.column(
+      SrpBucket(GraftColumnShim.expression(vec), planes, seed))
+
+  def wordShingleHashes(text: Column, k: Int): Column =
+    GraftColumnShim.column(
+      WordShingleHashes(GraftColumnShim.expression(text), k))
+}

@@ -43,29 +43,17 @@ object Similarity {
       .select("q_id", "id", "score", "rank")
   }
 
-  /** Deterministic ±1 pseudo-random hyperplane component for (plane, dim):
-    * sign of xxhash64(plane, dim, seed). No RNG — identical across runs and
-    * parallelism levels.
-    */
-  private def planeSign(p: Column, i: Column, seed: Long): Column =
-    when(pmod(xxhash64(p, i, lit(seed)), lit(2L)) === 0, 1.0).otherwise(-1.0)
-
   /** Random-hyperplane (SRP) LSH bucket id: `planes` sign bits packed into
-    * a long. Vectors with small angle collide with high probability.
+    * a long; hyperplane components are deterministic ±1 from
+    * splitmix64(seed, plane, dim) — no RNG, identical across runs and
+    * parallelism. Implemented as the custom
+    * [[graft.functions.SrpBucket]] expression: the HOF formulation
+    * (transform+zip_with+aggregate per plane) is interpreted per element
+    * and was the dominant cost of the ANN path.
     */
-  def srpBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeSign(p, i, seed)),
-        lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(planes - 1)),
-        (b, i) => b * call_function("shiftleft", lit(1L), i)),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def srpBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
+    graft.functions.SketchExpressions.srpBucket(
+      vec.cast("array<double>"), planes, seed)
 
   /** LSH-bucketed ANN: assign corpus and queries to SRP buckets (several
     * independent tables to boost recall), equi-join on (table, bucket),

@@ -58,6 +58,21 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(j - 11.0 / 13.0) < 1e-12, s"j=$j")
   }
 
+  test("WordShingleHashes expression matches the reference HOF shingle semantics") {
+    import graft.text.Shingles
+    import graft.functions.SketchExpressions
+    val corpus = docs.select($"text")
+      .union(Seq("", "  ", "one", "a b", "a b c", "a b c d",
+        "dup dup dup dup", "x  y\tz").toDF("text"))
+    // same SET SIZE per doc (hashes are injective modulo 2^-64 collisions)
+    // and same pairwise jaccard as the string-set reference implementation
+    val both = corpus.select(
+      size(Shingles.wordShingles($"text", 3)).as("ref_n"),
+      size(SketchExpressions.wordShingleHashes($"text", 3)).as("fast_n"))
+    val diff = both.where($"ref_n" =!= $"fast_n")
+    assert(diff.isEmpty, diff.collect().mkString(","))
+  }
+
   test("simhash: identical → distance 0; near-dups within small hamming; found by banding") {
     val sigs = Dedup.withSimHash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
