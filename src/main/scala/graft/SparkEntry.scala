@@ -322,6 +322,17 @@ object SparkEntry {
             .as("invoice_name"))
     }),
 
+    // F2: ISO-8601 year-of-week/week buckets (the invoice-per-week report,
+    // reports.py:25-32 — ExtractYear/ExtractWeek; ISO parity verified
+    // against DuckDB on year-boundary dates)
+    "q_iso_week" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").as("iso_y"),
+          weekofyear(col("o_orderdate")).cast("int").as("iso_w"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
     // ------------- rows-only entries (no SQL-expressible oracle) --------
 
     // full validation pass over the pages-shaped table (the flagship job)
@@ -585,6 +596,12 @@ object SparkEntry {
          FROM orders GROUP BY 1""",
     "q_format_string" ->
       """SELECT o_orderkey, printf('INV-%03d', o_orderkey) AS invoice_name
-         FROM orders ORDER BY o_orderkey LIMIT 20"""
+         FROM orders ORDER BY o_orderkey LIMIT 20""",
+    "q_iso_week" ->
+      """SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_y,
+         CAST(week(o_orderdate) AS INT) AS iso_w,
+         count(*) AS cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2"""
   )
 }

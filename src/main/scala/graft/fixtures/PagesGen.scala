@@ -155,6 +155,21 @@ object PagesGen {
     PagesData(pages, expected, hosts, langs)
   }
 
+  /** A "second crawl snapshot": identical to the input except ~0.4% of
+    * pages (chosen deterministically by url hash) get mutated text bytes —
+    * the planted corruption for the byte-identity invariant (FIXTURES.md:
+    * "mutated text bytes for known urls between two snapshots").
+    * Returns (mutated pages, expected violating urls).
+    */
+  def mutateSnapshot(pages: DataFrame, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val hit = col("url").isNotNull && col("text").isNotNull &&
+      pmod(xxhash64(col("url"), lit(seed), lit(99)), lit(1000L)) < 4
+    val mutated = pages.withColumn("text",
+      when(hit, concat(col("text"), lit(" [mutated]"))).otherwise(col("text")))
+    val expected = pages.where(hit).select(col("url").as("key")).distinct()
+    (mutated, expected)
+  }
+
   private implicit class SeqToDf(vals: Seq[String]) {
     def toDF(spark: SparkSession): DataFrame =
       spark.createDataFrame(vals.map(Tuple1(_))).toDF("code")
