@@ -75,6 +75,7 @@ object ScalingBench {
     val hosts = spark.read.parquet(hostsDir)
     val cfg = EngineConfig(keyExpr = "url",
       partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      saltExpr = "warc_ts",
       uniquenessSalts = 64,
       statsExprs = PagesRules.statsExprs,
       histograms = Seq(("text_len", "length(text)", 25.0)))

@@ -33,7 +33,8 @@ object SparkEntry {
       .where(col("host").isNotNull).distinct()
     val cfg = EngineConfig(
       keyExpr = "url",
-      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
+      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      saltExpr = "warc_ts")
     ValidationEngine.run(pages, PagesRules.catalog,
       dims = Map("hosts" -> hosts), cfg = cfg).verdicts
   }
@@ -341,7 +342,8 @@ object SparkEntry {
       val hosts = pages.select(expr("try_parse_url(url, 'HOST')").as("host"))
         .where(col("host").isNotNull).distinct()
       val cfg = EngineConfig(keyExpr = "url",
-        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
+        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      saltExpr = "warc_ts")
       ValidationEngine.run(pages, PagesRules.catalog,
         dims = Map("hosts" -> hosts), cfg = cfg)
         .verdicts.orderBy("part", "rule_id")
@@ -351,7 +353,8 @@ object SparkEntry {
     "q_pages_validate_planted" -> ((s, dir) => {
       val data = PagesGen.generate(s, nRows = 50000L, nDays = 5)
       val cfg = EngineConfig(keyExpr = "url",
-        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
+        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      saltExpr = "warc_ts")
       ValidationEngine.run(data.pages, PagesRules.catalog,
         dims = Map("hosts" -> data.hosts), cfg = cfg)
         .violations.groupBy(col("rule_id")).agg(count(lit(1)).as("n"))

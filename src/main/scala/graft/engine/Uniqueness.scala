@@ -27,9 +27,14 @@ import graft.rules.{Unique, RuleCompiler}
   */
 object Uniqueness {
 
-  /** Deterministic data-derived salt in [0, salts). */
-  def saltCol(cfg: EngineConfig, salts: Int): Column =
-    pmod(xxhash64(expr(cfg.partExpr)), lit(salts.toLong))
+  /** Deterministic data-derived salt in [0, salts). Hashed from
+    * cfg.saltExpr (fallback partExpr) — see EngineConfig.saltExpr for why
+    * it must vary within a duplicate-key group.
+    */
+  def saltCol(cfg: EngineConfig, salts: Int): Column = {
+    val src = if (cfg.saltExpr.nonEmpty) cfg.saltExpr else cfg.partExpr
+    pmod(xxhash64(expr(src)), lit(salts.toLong))
+  }
 
   /** One violation per DISTINCT duplicated key value (message carries the
     * multiplicity). Uniqueness is a cross-partition GLOBAL rule, so its

@@ -25,6 +25,12 @@ final case class EngineConfig(
                                 // (e.g. "date_format(warc_ts, 'yyyy-MM-dd')")
     broadcastDims: Boolean = true,
     uniquenessSalts: Int = 64,
+    // SQL expr the uniqueness salt is hashed from. MUST vary WITHIN a
+    // duplicate-key group or the hot key never splits (a day-granularity
+    // partition label fails this for within-day dups — use the full
+    // timestamp). Data-derived, never partition-id/RNG (determinism across
+    // parallelism). Empty = fall back to partExpr (fine for small tables).
+    saltExpr: String = "",
     // (name, sql) pairs to profile in the stats pass; empty = every column
     // as-is. Pass derived exprs (e.g. "length(text)") instead of megabyte
     // string bodies — min/max/HLL over full documents is wasted IO+CPU.
@@ -180,9 +186,11 @@ object ValidationEngine {
     val uniqCols = uniqueRules.flatMap(_.columns).distinct
       .map(c => col(c).as(s"_u_$c"))
 
+    val saltSrc = if (cfg.saltExpr.nonEmpty) cfg.saltExpr else cfg.partExpr
     joined.select(Seq(
       coalesce(expr(cfg.keyExpr).cast("string"), lit("(null)")).as("_key"),
       coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("_part"),
+      xxhash64(expr(saltSrc)).as("_saltsrc"),
       vioArr.as("_violations")) ++ uniqCols ++ statsCols ++ histCols: _*)
   }
 
@@ -219,7 +227,7 @@ object ValidationEngine {
         val ukey = concat_ws("\u001f", keyCols.map(_.cast("string")): _*)
         projection.where(nonNull)
           .select(ukey.as("_ukey"),
-            pmod(xxhash64(col("_part")), lit(cfg.uniquenessSalts.toLong)).as("_salt"))
+            pmod(col("_saltsrc"), lit(cfg.uniquenessSalts.toLong)).as("_salt"))
           .groupBy(col("_ukey"), col("_salt"))
           .agg(count(lit(1)).as("_n"))
           .groupBy(col("_ukey"))

@@ -15,6 +15,7 @@ class AuditResumeSpec extends SparkSuite {
 
   private val cfg = EngineConfig(
     keyExpr = "url", partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      saltExpr = "warc_ts",
     uniquenessSalts = 4)
 
   test("incremental run validates only new partitions, idempotently") {

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.fixtures.{PagesGen, PagesRules}
+import graft.sources.PagesTable
+
+/** End-to-end daily crawl pipeline: partitioned table on disk → incremental
+  * (resumable) validation of newly-arrived days → drift verdicts per day →
+  * byte-identity across a re-crawl. The integration shape of the whole
+  * engine, on files, the way production would run it.
+  */
+class DailyPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ingest days incrementally, validate only new ones, flag the drift day") {
+    val root = Files.createTempDirectory("daily").toString
+    val tableDir = s"$root/pages"
+    val auditDir = s"$root/audit"
+    val data = PagesGen.generate(spark, nRows = 20000L, nDays = 5)
+    val inWindow = data.pages.where(year($"warc_ts") === 2024)
+    val days = inWindow.select(date_format($"warc_ts", "yyyy-MM-dd").as("d"))
+      .distinct().as[String].collect().sorted
+    assert(days.length === 5)
+    val cfg = EngineConfig("url", "date_format(warc_ts, 'yyyy-MM-dd')", saltExpr = "warc_ts",
+      uniquenessSalts = 8, statsExprs = PagesRules.statsExprs)
+
+    // day-by-day arrival: append each day's partition, re-run incrementally
+    days.zipWithIndex.foreach { case (day, i) =>
+      PagesTable.write(
+        inWindow.where(date_format($"warc_ts", "yyyy-MM-dd") === day),
+        tableDir, org.apache.spark.sql.SaveMode.Append)
+      val table = PagesTable.read(spark, tableDir)
+        .drop(PagesTable.PartitionCol)
+      val res = Audit.runIncremental(table, PagesRules.catalog,
+        Map("hosts" -> data.hosts), cfg, auditDir, s"run_$i")
+      assert(res.isDefined, s"day $day should be new")
+      val newParts = res.get.verdicts.select("part").distinct()
+        .as[String].collect().toSet - ValidationEngine.GlobalPart
+      assert(newParts === Set(day), s"expected only $day, got $newParts")
+    }
+    val audit = new AuditLog(auditDir, spark)
+    assert(audit.validatedParts() === days.toSet)
+
+    // drift: per-day text-length histograms over the full table flag the
+    // planted last-day length shift
+    val table = PagesTable.read(spark, tableDir).drop(PagesTable.PartitionCol)
+    val hist = StatsPass.histogram(table, cfg, "length(text)", 25.0)
+    val psi = Drift.againstPrevious(hist, "length(text)")
+      .filter(_.metric == "psi").sortBy(_.part)
+    assert(psi.last.pass === false, s"drift day not flagged: $psi")
+    assert(psi.init.forall(_.pass))
+
+    // re-crawl with mutated texts: byte-identity catches exactly the plants
+    val base = table.where($"url".isNotNull).dropDuplicates("url")
+    val (recrawl, expected) = PagesGen.mutateSnapshot(base)
+    val got = CrossSnapshot.byteIdentity(base, recrawl, "url", "text")
+      .where($"severity" === "error").select("key").as[String].collect().toSet
+    assert(got === expected.as[String].collect().toSet && got.nonEmpty)
+  }
+}

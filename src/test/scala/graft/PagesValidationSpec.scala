@@ -16,6 +16,7 @@ class PagesValidationSpec extends SparkSuite {
   private val cfg = EngineConfig(
     keyExpr = "url",
     partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      saltExpr = "warc_ts",
     uniquenessSalts = 8)
 
   private lazy val data = PagesGen.generate(spark, nRows = 20000L, nDays = 5)

@@ -40,7 +40,8 @@ class PhysicalPlanSpec extends SparkSuite {
       hosts = spark.read.parquet(s"$dir/hosts"))
   }
   private val cfg = EngineConfig(keyExpr = "url",
-    partExpr = "date_format(warc_ts, 'yyyy-MM-dd')", uniquenessSalts = 4)
+    partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
+      saltExpr = "warc_ts", uniquenessSalts = 4)
 
   test("referential checks compile to BroadcastHashJoin, never SortMergeJoin") {
     val vios = ValidationEngine.rowPass(data.pages, PagesRules.catalog,
