@@ -32,6 +32,9 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nRows = if (args.length > 0) args(0).toLong else 8000000L
     val outPath = if (args.length > 1) args(1) else ""
+    // row width: 0 = narrow generator default (~400 B); e.g. 16384 pads
+    // text to ~16 KB (+html copy) for Common-Crawl-realistic rows
+    val padTo = if (args.length > 2) args(2).toInt else 0
 
     val spark = SparkSession.builder()
       .appName("graft-scaling-bench")
@@ -60,9 +63,9 @@ object ScalingBench {
       })
 
     // ---- setup (untimed): materialize the input once, reuse across runs
-    val inputDir = s"/tmp/graft_bench_pages_${nRows}_seed42"
+    val inputDir = s"/tmp/graft_bench_pages_${nRows}_w${padTo}_seed42"
     if (!Files.exists(Paths.get(inputDir, "_SUCCESS"))) {
-      PagesGen.generate(spark, nRows, nDays = 10)
+      PagesGen.generate(spark, nRows, nDays = 10, padTextTo = padTo)
         .pages.repartition(64).write.mode("overwrite").parquet(inputDir)
     }
     val hostsDir = s"/tmp/graft_bench_hosts_seed42"
@@ -78,7 +81,8 @@ object ScalingBench {
       saltExpr = "warc_ts",
       uniquenessSalts = 64,
       statsExprs = PagesRules.statsExprs,
-      histograms = Seq(("text_len", "length(text)", 25.0)))
+      histograms = Seq(("text_len", "length(text)", 25.0)),
+      persistProjection = true)
 
     // ---- timed: the full validation job, ONE decode of the source
     val sink = s"/tmp/graft_bench_out_$parallelism"
@@ -98,7 +102,7 @@ object ScalingBench {
     val rate = nRows / elapsed
     val cpuSec = cpuNanos.get() / 1e9
     val json =
-      s"""{"master":"$master","parallelism":$parallelism,"rows":$nRows,""" +
+      s"""{"master":"$master","parallelism":$parallelism,"rows":$nRows,"pad_to":$padTo,""" +
       s""""elapsed_sec":$elapsed,"rows_per_sec":$rate,""" +
       s""""cpu_sec":$cpuSec,"cpu_us_per_row":${cpuSec * 1e6 / nRows},""" +
       s""""executor_run_sec":${runMillis.get() / 1e3},""" +

@@ -38,10 +38,13 @@ final case class EngineConfig(
     // (name, sql, binWidth) fixed-width histograms for the drift checks,
     // computed from the same single scan in runToSink
     histograms: Seq[(String, String, Double)] = Nil,
-    // persist the compact projection (keys + violation array + stat inputs,
-    // NOT document bodies) so violations/uniqueness/stats/histograms all
-    // derive from ONE decode of the source — at 100 TB this caches ~3-5%
-    // of input bytes instead of re-scanning 2-4x
+    // true: persist one compact projection (keys + violation array + stat
+    // inputs, NOT document bodies) and derive all outputs from a SINGLE
+    // decode of the source — the right call when rows are wide (real web
+    // pages carry ~100 KB of html/text, so N scans = N x the decode bill);
+    // on narrow 400-byte bench rows the two strategies measure within host
+    // noise of each other (projection ~15% less CPU/row).
+    // false: run each phase as its own column-pruned scan of the source.
     persistProjection: Boolean = true)
 
 final case class ValidationResult(
@@ -204,6 +207,8 @@ object ValidationEngine {
   def runToSink(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
       sinkDir: String): ValidationResult = {
+    if (!cfg.persistProjection)
+      return runToSinkMultiScan(df, rules, dims, cfg, sinkDir)
     val spark = df.sparkSession
     val uniqueRules = rules.collect { case r: Unique => r }
 
@@ -294,6 +299,38 @@ object ValidationEngine {
     } finally {
       if (cfg.persistProjection) projection.unpersist()
     }
+  }
+
+  /** Multi-scan sink path: each phase is its own column-pruned scan of the
+    * source (narrow-row regime — see EngineConfig.persistProjection).
+    */
+  private def runToSinkMultiScan(df: DataFrame, rules: Seq[ValidationRule],
+      dims: Map[String, DataFrame], cfg: EngineConfig,
+      sinkDir: String): ValidationResult = {
+    val spark = df.sparkSession
+    val uniqueRules = rules.collect { case r: Unique => r }
+
+    val rowVios = rowPass(df, rules, dims, cfg)
+    val uniqVios = uniqueRules.map(r =>
+      Uniqueness.duplicateKeyViolations(df, r, cfg))
+    (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$sinkDir/violations")
+
+    StatsPass.profile(df, cfg)
+      .write.mode("overwrite").parquet(s"$sinkDir/profiles")
+    cfg.histograms.foreach { case (n, e, w) =>
+      StatsPass.histogram(df, cfg, e, w)
+        .write.mode("overwrite").parquet(s"$sinkDir/hist_$n")
+    }
+
+    val violations = spark.read.parquet(s"$sinkDir/violations")
+    val profiles = spark.read.parquet(s"$sinkDir/profiles")
+    val checked = profiles.groupBy(col("part"))
+      .agg(max(col("rowCount")).as("checked"))
+    assembleVerdicts(spark, rules, violations, checked)
+      .write.mode("overwrite").parquet(s"$sinkDir/verdicts")
+    ValidationResult(violations,
+      spark.read.parquet(s"$sinkDir/verdicts"), profiles)
   }
 
   /** Per-partition verdicts for partition-scoped rules; one "(global)"

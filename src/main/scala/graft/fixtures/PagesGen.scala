@@ -65,8 +65,14 @@ object PagesGen {
   private val LongUrlHi = 23L   // [22,23)  0.1% url > 2083 chars   → R8
   private val BadHostHi = 26L   // [23,26)  0.3% host not in dim    → R9
 
+  /** @param padTextTo when > 0, right-pad `text` to ~this many chars with a
+    *   deterministic filler (codegen'd rpad — NOT per-word generation) so
+    *   benchmarks can use realistic Common-Crawl row widths (tens of KB)
+    *   without paying interpreted word-by-word generation. Planted
+    *   violations are unaffected (text stays non-empty and unique-suffixed).
+    */
   def generate(spark: SparkSession, nRows: Long, nDays: Int = 10,
-      seed: Long = 42L): PagesData = {
+      seed: Long = 42L, padTextTo: Int = 0): PagesData = {
     val id = col("id")
     val driftDay = nDays - 1
 
@@ -102,9 +108,18 @@ object PagesGen {
     val textWords = transform(sequence(lit(0), lCol), i =>
       element_at(vocabArr,
         (pmod(xxhash64(id, lit(seed), lit(7), i), lit(Vocab.size.toLong)) + 1).cast("int")))
+    val baseText = array_join(textWords, " ")
+    val sizedText =
+      if (padTextTo > 0)
+        // unique prefix (keeps per-row distinctness) + cheap filler;
+        // SQL rpad (column-length overload) — codegen'd
+        call_function("rpad", baseText,
+          lit(padTextTo) + pmod(h(id, seed, 12), lit(200L)).cast("int"),
+          lit(" the quick crawl page filler text segment"))
+      else baseText
     val textCol = when(bucket >= NullTextHi - 2 && bucket < NullTextHi,
         lit(null).cast("string"))
-      .otherwise(array_join(textWords, " "))
+      .otherwise(sizedText)
 
     // drift partition also inflates lang null-rate (null lang is allowed by
     // schema — surfaces as a warn-severity rule + null-rate drift)
