@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{MinHashSignature, SimHash64, SrpBucket, WordShingleHashes}
+
+/** SQL registration for graft's custom Catalyst expressions, so the sketch
+  * functions are usable from `spark.sql(...)` and `expr(...)` strings:
+  *
+  *   word_shingle_hashes(text, k)       → array<bigint>
+  *   minhash_signature(hashes, n)       → array<bigint>
+  *   simhash64(hashes)                  → bigint
+  *   srp_bucket(vec, planes, seed)      → bigint
+  *
+  * Two entry points: `GraftFunctions.register(spark)` for an existing
+  * session, or `--conf spark.sql.extensions=graft.GraftExtensions` at
+  * spark-submit time (the standard extension hook).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal long, got $other")
+  }
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("word_shingle_hashes",
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+      (args: Seq[Expression]) =>
+        WordShingleHashes(args.head, intArg(args(1), "word_shingle_hashes"))),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args.head, intArg(args(1), "minhash_signature"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("srp_bucket",
+      new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+      (args: Seq[Expression]) => SrpBucket(args.head,
+        intArg(args(1), "srp_bucket"), longArg(args(2), "srp_bucket")))
+  )
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+}

@@ -82,7 +82,7 @@ object ScalingBench {
       uniquenessSalts = 64,
       statsExprs = PagesRules.statsExprs,
       histograms = Seq(("text_len", "length(text)", 25.0)),
-      persistProjection = true)
+      persistProjection = false)
 
     // ---- timed: the full validation job, ONE decode of the source
     val sink = s"/tmp/graft_bench_out_$parallelism"

@@ -236,4 +236,29 @@ object CrmChecks {
     */
   def overdue(due: Column, state: Column, todaySql: String): Column =
     state === "unpaid" && due.isNotNull && due < expr(todaySql)
+
+  /** W7 MonitorField reconstruction: "the last time `entity`'s state
+    * entered `state`" from the audit log (`paid_on`/`sent_on`,
+    * `cerberus/models/invoice.py:70-71`) — `max(when(state = v, ts))`
+    * per entity, one aggregation.
+    */
+  def monitorTimestamp(stateLog: DataFrame, entity: String,
+      state: String, out: String): DataFrame =
+    stateLog.where(col("entity") === entity)
+      .groupBy(col("entity_id"))
+      .agg(max(when(col("state") === state, col("ts"))).as(out))
+
+  /** R14-adjacent: stored MonitorField column must equal the audit-log
+    * reconstruction (e.g. invoices.paid_on vs max state→paid ts).
+    */
+  def monitorConsistency(entities: DataFrame, stateLog: DataFrame,
+      entity: String, state: String, storedCol: String): DataFrame = {
+    val recon = monitorTimestamp(stateLog, entity, state, "_recon")
+    val bad = entities.alias("e")
+      .join(recon, col("e.id") === recon("entity_id"), "left")
+      .where(!(col(s"e.$storedCol") <=> col("_recon")))
+    shape(bad, entity, col("e.id"), s"${storedCol}_consistent", storedCol,
+      concat(lit(s"stored $storedCol "), col(s"e.$storedCol").cast("string"),
+        lit(" != audit-log reconstruction "), col("_recon").cast("string")))
+  }
 }

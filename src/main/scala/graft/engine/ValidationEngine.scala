@@ -38,14 +38,16 @@ final case class EngineConfig(
     // (name, sql, binWidth) fixed-width histograms for the drift checks,
     // computed from the same single scan in runToSink
     histograms: Seq[(String, String, Double)] = Nil,
-    // true: persist one compact projection (keys + violation array + stat
-    // inputs, NOT document bodies) and derive all outputs from a SINGLE
-    // decode of the source — the right call when rows are wide (real web
-    // pages carry ~100 KB of html/text, so N scans = N x the decode bill);
-    // on narrow 400-byte bench rows the two strategies measure within host
-    // noise of each other (projection ~15% less CPU/row).
-    // false: run each phase as its own column-pruned scan of the source.
-    persistProjection: Boolean = true)
+    // false (default): each phase is its own column-pruned scan of the
+    // source. true: persist one compact projection (keys + violation
+    // array + stat inputs) and derive every output from a single decode.
+    // MEASURED: the projection path is ~3x slower in BOTH row-width
+    // regimes (2M x 400 B and 150k x 33 KB) because Spark's in-memory
+    // columnar cache serializes the nested array<struct> violations column
+    // at ~0.8 ms/row — far more than re-decoding pruned parquet columns.
+    // Kept as an option for sources where re-scanning is truly expensive
+    // (remote object storage without column pruning).
+    persistProjection: Boolean = false)
 
 final case class ValidationResult(
     violations: DataFrame,      // graft.model.Violation shape

@@ -177,6 +177,24 @@ class CrmReplaySpec extends SparkSuite {
     assert(wrong.isEmpty, wrong.collect().mkString(","))
   }
 
+  test("W7 monitor timestamps: stored paid_on vs audit-log reconstruction") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val invoices = Seq(
+      (3L, Some(ts("2017-05-03 10:00:00"))), // matches the log → clean
+      (4L, Some(ts("2017-05-09 09:00:00"))), // log says 05-02 → violation
+      (7L, None)                             // never paid, no log row → clean
+    ).toDF("id", "paid_on")
+    val log = Seq(
+      ("invoice", 3L, ts("2017-05-02 10:00:00"), "draft", "unpaid"),
+      ("invoice", 3L, ts("2017-05-03 10:00:00"), "unpaid", "paid"),
+      ("invoice", 4L, ts("2017-05-02 10:00:00"), "draft", "paid")
+    ).toDF("entity", "entity_id", "ts", "source_state", "state")
+    val bad = CrmChecks.monitorConsistency(invoices, log,
+      "invoice", "paid", "paid_on")
+      .select("key").as[String].collect().toSet
+    assert(bad === Set("invoice:4"))
+  }
+
   test("overdue: expression == recompute (invoice.py:45 vs :130-132)") {
     val annotated = t.invoices.withColumn("overdue",
       CrmChecks.overdue($"due", $"state", CrmFixtures.FrozenTodaySql))
