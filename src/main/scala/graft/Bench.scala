@@ -1,21 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR, printed
+  * as one JSON line. Each query runs REPS times and reports the BEST wall
+  * clock — this host is hypervisor-oversubscribed (2-6 effective cores
+  * behind 32 advertised), so a single cold run conflates engine cost with
+  * scheduler noise (round-1's q_icontains read 58 s for a 15k-row filter).
+  * Failures are printed with their stack trace and scored -1, never
+  * silently swallowed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s ${dt}%8.2fs rows=$n")
-      name -> dt
+      var best = Double.MaxValue
+      var rows = -1L
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        val t0 = System.nanoTime()
+        try rows = fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          failed = true
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!failed && dt < best) best = dt
+        r += 1
+      }
+      val score = if (failed) -1.0 else best
+      System.err.println(f"[bench] $name%-28s $score%8.2fs rows=$rows (best of $reps)")
+      name -> score
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -35,11 +35,22 @@ object ScalingBench {
     // row width: 0 = narrow generator default (~400 B); e.g. 16384 pads
     // text to ~16 KB (+html copy) for Common-Crawl-realistic rows
     val padTo = if (args.length > 2) args(2).toInt else 0
+    // runToSink strategy: parquet (single-decode stage) | memory | multi-scan
+    val stage = if (args.length > 3) args(3) else "parquet"
+
+    // Wide rows blow up the vectorized reader's on-heap batches: the
+    // default 4096-row batch at ~33 KB/row is ~135 MB PER TASK — at 4
+    // concurrent tasks that is >0.5 GB of humongous allocations per batch
+    // wave, and GC cost is what made cpu/row DOUBLE from local[1] to
+    // local[4] in round 1. Cap batches near ~16 MB instead.
+    val batchRows = if (padTo > 0)
+      math.max(256, (16 << 20) / (2 * padTo + 256)) else 4096
 
     val spark = SparkSession.builder()
       .appName("graft-scaling-bench")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", batchRows.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -82,7 +93,7 @@ object ScalingBench {
       uniquenessSalts = 64,
       statsExprs = PagesRules.statsExprs,
       histograms = Seq(("text_len", "length(text)", 25.0)),
-      persistProjection = false)
+      stage = stage)
 
     // ---- timed: the full validation job, ONE decode of the source
     val sink = s"/tmp/graft_bench_out_$parallelism"
@@ -102,7 +113,7 @@ object ScalingBench {
     val rate = nRows / elapsed
     val cpuSec = cpuNanos.get() / 1e9
     val json =
-      s"""{"master":"$master","parallelism":$parallelism,"rows":$nRows,"pad_to":$padTo,""" +
+      s"""{"master":"$master","parallelism":$parallelism,"rows":$nRows,"pad_to":$padTo,"stage":"$stage","batch_rows":$batchRows,""" +
       s""""elapsed_sec":$elapsed,"rows_per_sec":$rate,""" +
       s""""cpu_sec":$cpuSec,"cpu_us_per_row":${cpuSec * 1e6 / nRows},""" +
       s""""executor_run_sec":${runMillis.get() / 1e3},""" +

@@ -56,6 +56,12 @@ object Audit {
     * partitions only. Re-running after success is a no-op; re-running after
     * a mid-run failure re-validates only what never got verdict rows —
     * per-partition verdicts are the unit of idempotent re-execution.
+    *
+    * Uniqueness rules are GLOBAL (cross-partition): a key duplicated across
+    * an already-validated partition and a newly-arrived one must still flag,
+    * so the uniqueness pass always scans the FULL table — a keys-only,
+    * column-pruned scan (the unique-key columns + salt source), never the
+    * document bodies. Row/referential/stats passes stay pending-only.
     */
   def runIncremental(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
@@ -65,14 +71,30 @@ object Audit {
     val done = audit.validatedParts()
 
     // Partition pruning: the filter on partExpr is pushed to the scan, so
-    // already-validated daily partitions are never read again.
+    // already-validated daily partitions are never read again. NULL-part
+    // rows key as "(null)" — the same keying every pass uses — so they are
+    // validated exactly once and a NULL never poisons the isin (whose SQL
+    // semantics would otherwise drop every non-matching row).
+    val partKey = coalesce(expr(cfg.partExpr).cast("string"), lit("(null)"))
     val pending =
       if (done.isEmpty) df
-      else df.where(!expr(cfg.partExpr).cast("string").isin(done.toSeq: _*))
+      else df.where(!partKey.isin(done.toSeq: _*))
 
     if (pending.isEmpty) None
     else {
-      val res = ValidationEngine.run(pending, rules, dims, cfg)
+      val uniqueRules = rules.collect { case r: graft.rules.Unique => r }
+      val rowVios = ValidationEngine.rowPass(pending, rules, dims, cfg)
+      val uniqVios = uniqueRules.map(r =>
+        Uniqueness.duplicateKeyViolations(df, r, cfg)) // full table
+      val violations = (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
+      val profiles = StatsPass.profile(pending, cfg)
+      val checked = profiles.groupBy(col("part"))
+        .agg(max(col("rowCount")).as("checked"))
+      val globalChecked =
+        if (uniqueRules.isEmpty) None else Some(df.count())
+      val verdicts = ValidationEngine.assembleVerdicts(
+        spark, rules, violations, checked, globalChecked)
+      val res = ValidationResult(violations, verdicts, profiles)
       audit.append(res.verdicts, runId)
       Some(res)
     }

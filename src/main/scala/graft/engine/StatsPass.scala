@@ -33,8 +33,11 @@ object StatsPass {
         min(e.cast("string")).as(s"_min_$c"),
         max(e.cast("string")).as(s"_max_$c"))
     }
+    // NULL partition values key as "(null)" — identical to rowPass and
+    // histogram — so assembleVerdicts' join can't miss violations recorded
+    // under "(null)" while checked counts sit under a NULL part.
     val wide = df
-      .groupBy(expr(cfg.partExpr).cast("string").as("part"))
+      .groupBy(coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("part"))
       .agg(aggs.head, aggs.tail: _*)
 
     // melt wide → long with a stack() over the per-column measure structs
@@ -61,7 +64,7 @@ object StatsPass {
   def numericQuantiles(df: DataFrame, cfg: EngineConfig, exprSql: String,
       probabilities: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99),
       accuracy: Int = 10000): DataFrame = {
-    df.groupBy(expr(cfg.partExpr).cast("string").as("part"))
+    df.groupBy(coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("part"))
       .agg(percentile_approx(expr(exprSql),
         array(probabilities.map(lit): _*), lit(accuracy)).as("quantiles"))
   }

@@ -38,16 +38,21 @@ final case class EngineConfig(
     // (name, sql, binWidth) fixed-width histograms for the drift checks,
     // computed from the same single scan in runToSink
     histograms: Seq[(String, String, Double)] = Nil,
-    // false (default): each phase is its own column-pruned scan of the
-    // source. true: persist one compact projection (keys + violation
-    // array + stat inputs) and derive every output from a single decode.
-    // MEASURED: the projection path is ~3x slower in BOTH row-width
-    // regimes (2M x 400 B and 150k x 33 KB) because Spark's in-memory
-    // columnar cache serializes the nested array<struct> violations column
-    // at ~0.8 ms/row — far more than re-decoding pruned parquet columns.
-    // Kept as an option for sources where re-scanning is truly expensive
-    // (remote object storage without column pruning).
-    persistProjection: Boolean = false)
+    // runToSink strategy — how many times the (possibly wide) source is
+    // decoded:
+    //  - "parquet" (default): ONE decode into a compact all-scalar
+    //    projection staged as parquet; every phase re-reads the pruned
+    //    stage. Violations are carried as a BITMASK (one long per 64
+    //    rules), not an array<struct> — round 1 measured Spark's columnar
+    //    cache serializing the nested array at ~0.8 ms/row, which made the
+    //    old projection path 3x slower than re-scanning; literal rule
+    //    metadata is re-attached from the mask at explode time for free.
+    //  - "memory": same projection, persisted MEMORY_AND_DISK instead of
+    //    staged (saves the stage write; costs executor memory at scale).
+    //  - "multi-scan": each phase is its own column-pruned scan of the
+    //    source — wins only when the pruned re-reads are cheaper than the
+    //    stage write (narrow rows on fast local storage).
+    stage: String = "parquet")
 
 final case class ValidationResult(
     violations: DataFrame,      // graft.model.Violation shape
@@ -147,10 +152,23 @@ object ValidationEngine {
     ValidationResult(violations, verdicts, profiles)
   }
 
+  /** Rule metadata (all literals) in BIT ORDER: row rules first, then
+    * referential — the contract between [[buildProjection]]'s bitmask and
+    * [[bitsToViolations]]'s reconstruction.
+    */
+  private def bitOrderedMeta(rowRules: Seq[RowRule],
+      refRules: Seq[Referential]): Seq[(String, String, String, String)] =
+    rowRules.map(r => (r.ruleId, r.path, RuleCompiler.message(r), r.severity)) ++
+      refRules.map(r => (r.ruleId, r.path, RuleCompiler.message(r), r.severity))
+
+  private def bitWords(nRules: Int): Int = (nRules + 63) / 64
+
   /** The compact per-row projection everything derives from: key, part,
-    * violations array, uniqueness key columns, stat/histogram inputs. One
-    * decode of the (wide) source; the projection carries ~tens of bytes per
-    * row — no document bodies.
+    * salt source, per-rule violation BITMASK (one long per 64 rules — all
+    * the struct fields are rule-literal, so only the fired/not-fired bit is
+    * per-row information), uniqueness key columns, stat/histogram inputs.
+    * One decode of the (wide) source; the projection carries ~tens of
+    * fixed-width bytes per row — no document bodies, no nested types.
     */
   private def buildProjection(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig): DataFrame = {
@@ -159,32 +177,28 @@ object ValidationEngine {
     val uniqueRules = rules.collect { case r: Unique => r }
 
     var joined = df
-    val refConds: Seq[(Referential, Column)] = refRules.zipWithIndex.map {
-      case (r, i) =>
-        val dim = dims.getOrElse(r.dim,
-          throw new IllegalArgumentException(s"missing dim table '${r.dim}' for rule ${r.ruleId}"))
-        val marker = s"_ref_ok_$i"
-        val keyC = r.keyExprSql.map(expr).getOrElse(col(r.path))
-        val d = dim.select(col(r.dimColumn).as(s"_ref_key_$i")).distinct()
-          .withColumn(marker, lit(true))
-        val dimSide = if (cfg.broadcastDims) broadcast(d) else d
-        joined = joined.join(dimSide, keyC === col(s"_ref_key_$i"), "left")
-        (r, keyC.isNotNull && col(marker).isNull)
+    val refConds: Seq[Column] = refRules.zipWithIndex.map { case (r, i) =>
+      val dim = dims.getOrElse(r.dim,
+        throw new IllegalArgumentException(s"missing dim table '${r.dim}' for rule ${r.ruleId}"))
+      val marker = s"_ref_ok_$i"
+      val keyC = r.keyExprSql.map(expr).getOrElse(col(r.path))
+      val d = dim.select(col(r.dimColumn).as(s"_ref_key_$i")).distinct()
+        .withColumn(marker, lit(true))
+      val dimSide = if (cfg.broadcastDims) broadcast(d) else d
+      joined = joined.join(dimSide, keyC === col(s"_ref_key_$i"), "left")
+      keyC.isNotNull && col(marker).isNull
     }
-    val allStructs = rowRules.map(RuleCompiler.violationStruct) ++
-      refConds.map { case (r, cond) =>
-        when(cond, struct(
-          lit(r.ruleId).as("rule_id"), lit(r.path).as("path"),
-          lit(RuleCompiler.message(r)).as("message"),
-          lit(r.severity).as("severity")))
+    // violation bitmask words: bit i of word i/64 set ⇔ rule i fired
+    // (NULL conditions count as not-fired, matching when(cond, struct))
+    val conds = rowRules.map(RuleCompiler.violated) ++ refConds
+    val bitCols = conds.zipWithIndex
+      .groupBy(_._2 / 64).toSeq.sortBy(_._1)
+      .map { case (w, cs) =>
+        cs.map { case (c, i) =>
+          when(c, lit(1L << (i % 64))).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as(s"_vb$w")
       }
-    // nulls kept in the array (compacting via the filter() HOF would be
-    // CodegenFallback and de-codegen the whole projection) — the explode
-    // consumer filters them, columnar caching stores them for ~free
-    val vioArr =
-      if (allStructs.isEmpty)
-        array().cast("array<struct<rule_id:string,path:string,message:string,severity:string>>")
-      else array(allStructs: _*)
+    val vbCols = if (bitCols.isEmpty) Seq(lit(0L).as("_vb0")) else bitCols
 
     val statsCols = cfg.statsExprs.map { case (n, e) => expr(e).as(s"_s_$n") }
     val histCols = cfg.histograms.map { case (n, e, _) => expr(e).as(s"_h_$n") }
@@ -195,39 +209,67 @@ object ValidationEngine {
     joined.select(Seq(
       coalesce(expr(cfg.keyExpr).cast("string"), lit("(null)")).as("_key"),
       coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("_part"),
-      xxhash64(expr(saltSrc)).as("_saltsrc"),
-      vioArr.as("_violations")) ++ uniqCols ++ statsCols ++ histCols: _*)
+      xxhash64(expr(saltSrc)).as("_saltsrc")) ++
+      vbCols ++ uniqCols ++ statsCols ++ histCols: _*)
+  }
+
+  /** Reconstruct violation rows from the projection's bitmask: the struct
+    * payloads are pure rule literals, so this is a codegen'd
+    * when(bit, struct-of-literals) array + explode over the tiny stage —
+    * the wide source is never touched again.
+    */
+  private def bitsToViolations(proj: DataFrame,
+      meta: Seq[(String, String, String, String)]): DataFrame = {
+    val structs = meta.zipWithIndex.map { case ((id, p, m, sev), i) =>
+      when(shiftright(col(s"_vb${i / 64}"), i % 64).bitwiseAND(lit(1L)) === 1L,
+        struct(lit(id).as("rule_id"), lit(p).as("path"),
+          lit(m).as("message"), lit(sev).as("severity")))
+    }
+    if (structs.isEmpty)
+      return proj.sparkSession.emptyDataFrame
+        .select(lit("").as("key"), lit("").as("part"), lit("").as("rule_id"),
+          lit("").as("path"), lit("").as("message"), lit("").as("severity"))
+        .limit(0)
+    proj
+      .select(col("_key"), col("_part"), explode(array(structs: _*)).as("v"))
+      .where(col("v").isNotNull)
+      .select(col("_key").as("key"), col("_part").as("part"),
+        col("v.rule_id").as("rule_id"), col("v.path").as("path"),
+        col("v.message").as("message"), col("v.severity").as("severity"))
   }
 
   /** Production entry point: run the full pass writing each output to a
     * parquet sink. The wide source (document bodies) is decoded EXACTLY
-    * ONCE into a compact projection, optionally persisted; violations,
-    * salted uniqueness, column stats, drift histograms and verdicts all
-    * derive from it. Verdicts are assembled from the WRITTEN violations
-    * (tiny) — never by re-executing the scan.
+    * ONCE into a compact all-scalar projection (cfg.stage = "parquet" |
+    * "memory"); violations, salted uniqueness, column stats, drift
+    * histograms and verdicts all derive from it. Verdicts are assembled
+    * from the WRITTEN violations (tiny) — never by re-executing the scan.
     */
   def runToSink(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
       sinkDir: String): ValidationResult = {
-    if (!cfg.persistProjection)
+    if (cfg.stage == "multi-scan")
       return runToSinkMultiScan(df, rules, dims, cfg, sinkDir)
+    require(cfg.stage == "parquet" || cfg.stage == "memory",
+      s"unknown stage strategy '${cfg.stage}'")
     val spark = df.sparkSession
     val uniqueRules = rules.collect { case r: Unique => r }
+    val rowRules = rules.collect { case r: RowRule => r }
+    val refRules = rules.collect { case r: Referential => r }
+    val meta = bitOrderedMeta(rowRules, refRules)
 
     val projection0 = buildProjection(df, rules, dims, cfg)
     val projection =
-      if (cfg.persistProjection)
+      if (cfg.stage == "parquet") {
+        // stage the single decode; every downstream phase column-prunes it
+        projection0.write.mode("overwrite").parquet(s"$sinkDir/_stage")
+        spark.read.parquet(s"$sinkDir/_stage")
+      } else
         projection0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else projection0
 
     try {
       // 1. violations: row+referential (from projection) ∪ salted uniqueness
-      val rowVios = projection
-        .select(col("_key"), col("_part"), explode(col("_violations")).as("v"))
-        .where(col("v").isNotNull)
-        .select(col("_key").as("key"), col("_part").as("part"),
-          col("v.rule_id").as("rule_id"), col("v.path").as("path"),
-          col("v.message").as("message"), col("v.severity").as("severity"))
+      val rowVios = bitsToViolations(projection, meta)
       val uniqVios = uniqueRules.map { r =>
         val keyCols = r.columns.map(c => col(s"_u_$c"))
         val nonNull = keyCols.map(_.isNotNull).reduce(_ && _)
@@ -299,12 +341,12 @@ object ValidationEngine {
       ValidationResult(violations,
         spark.read.parquet(s"$sinkDir/verdicts"), profiles)
     } finally {
-      if (cfg.persistProjection) projection.unpersist()
+      if (cfg.stage == "memory") projection.unpersist()
     }
   }
 
   /** Multi-scan sink path: each phase is its own column-pruned scan of the
-    * source (narrow-row regime — see EngineConfig.persistProjection).
+    * source (see EngineConfig.stage).
     */
   private def runToSinkMultiScan(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
@@ -337,10 +379,13 @@ object ValidationEngine {
 
   /** Per-partition verdicts for partition-scoped rules; one "(global)"
     * verdict per global rule (uniqueness) with checked = total rows.
+    * `globalChecked` overrides the global rules' checked count for callers
+    * whose uniqueness pass scanned more rows than the per-partition passes
+    * (incremental resume runs uniqueness over the FULL table).
     */
-  private def assembleVerdicts(spark: SparkSession,
+  private[engine] def assembleVerdicts(spark: SparkSession,
       rules: Seq[ValidationRule], violations: DataFrame,
-      checked: DataFrame): DataFrame = {
+      checked: DataFrame, globalChecked: Option[Long] = None): DataFrame = {
     val uniqueIds = rules.collect { case r: Unique => r.ruleId }
     val partRules = rules.filterNot(r => uniqueIds.contains(r.ruleId))
     val vioCounts = violations.groupBy(col("part"), col("rule_id"))
@@ -355,7 +400,12 @@ object ValidationEngine {
     val globalVerdicts = if (uniqueIds.isEmpty) None else Some {
       val rulesDf = spark.createDataFrame(uniqueIds.map(Tuple1(_)))
         .toDF("rule_id")
-      checked.agg(sum(col("checked")).as("checked"))
+      val checkedGlobal = globalChecked match {
+        case Some(n) => checked.sparkSession.range(1)
+          .select(lit(n).as("checked"))
+        case None => checked.agg(sum(col("checked")).as("checked"))
+      }
+      checkedGlobal
         .select(lit(GlobalPart).as("part"), col("checked"))
         .crossJoin(broadcast(rulesDf))
         .join(vioCounts, Seq("part", "rule_id"), "left")

@@ -94,9 +94,16 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (dedup flavour): SRP buckets,
     * exact cosine within bucket, threshold.
+    *
+    * `maxBucketSize`: one degenerate SRP bucket (zero vectors, templated
+    * embeddings) yields O(s²) candidate pairs, so oversized (tbl, bucket)
+    * groups are stop-banded exactly like the MinHash-LSH path
+    * (graft.dedup.Dedup.lshCandidates) — the skip list is tiny and
+    * broadcast anti-joined.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 10, tables: Int = 3): DataFrame = {
+      threshold: Double, planes: Int = 10, tables: Int = 3,
+      maxBucketSize: Int = 500): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     val cols = (0 until tables).map(t =>
@@ -106,9 +113,13 @@ object Similarity {
       explode(array(cols: _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl").as("tbl"),
         col("tb.bucket").as("bucket"))
-    val a = banded.select(col("tbl"), col("bucket"), col("id").as("a_id"),
+    val oversized = banded.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
+      .select("tbl", "bucket")
+    val pruned = banded.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+    val a = pruned.select(col("tbl"), col("bucket"), col("id").as("a_id"),
       col("vec").as("a_vec"))
-    val b = banded.select(col("tbl"), col("bucket"), col("id").as("b_id"),
+    val b = pruned.select(col("tbl"), col("bucket"), col("id").as("b_id"),
       col("vec").as("b_vec"))
     a.join(b, Seq("tbl", "bucket"))
       .where(col("a_id") < col("b_id"))

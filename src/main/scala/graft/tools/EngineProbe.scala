@@ -12,7 +12,7 @@ import graft.rules.Unique
 object EngineProbe {
   def main(args: Array[String]): Unit = {
     val input = if (args.nonEmpty) args(0)
-      else "/tmp/graft_bench_pages_2000000_seed42"
+      else "/tmp/graft_bench_pages_2000000_w0_seed42" // ScalingBench template
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -54,4 +54,51 @@ class AuditResumeSpec extends SparkSuite {
       .as[String].collect().toSet
     assert(runs === Set("run1", "run3"))
   }
+
+  test("null-part rows validate exactly once; resume isin is null-safe") {
+    val dir = Files.createTempDirectory("audit_null").toString
+    def page(url: String, ts: Option[String], lang: String) =
+      (url, ts.orNull, "<html/>".getBytes, s"text of $url", lang)
+    val day1 = Seq(
+      page("https://h0.example.com/a", Some("2024-01-01 01:00:00"), "en"),
+      page("https://h0.example.com/nullts", None, "en"))
+      .toDF("url", "ts", "html", "text", "lang")
+      .select($"url", $"ts".cast("timestamp").as("warc_ts"),
+        $"html", $"text", $"lang")
+    // rules subset: no window/referential so the null-ts row's only part
+    // role is the "(null)" bucket
+    val rules = Seq(graft.rules.Required("url_required", "url"),
+      graft.rules.Unique("unique_url", Seq("url")))
+
+    val r1 = Audit.runIncremental(day1, rules, Map.empty, cfg, dir, "run1")
+    assert(r1.isDefined)
+    val audit = new AuditLog(dir, spark)
+    // the NULL-part row was validated and keyed "(null)"
+    assert(audit.validatedParts() === Set("2024-01-01", "(null)"))
+
+    // re-run: "(null)" in the done-set must not poison the isin — with a
+    // bare NOT IN, the NULL row makes every comparison NULL and ALL new
+    // partitions would be dropped silently
+    assert(Audit.runIncremental(day1, rules, Map.empty, cfg, dir, "run2").isEmpty)
+
+    // a new day arrives whose url duplicates an ALREADY-VALIDATED one:
+    // uniqueness is global, so the incremental run must still flag it
+    val day2 = Seq(
+      page("https://h0.example.com/a", Some("2024-01-02 01:00:00"), "en"),
+      page("https://h0.example.com/b", Some("2024-01-02 02:00:00"), "en"))
+      .toDF("url", "ts", "html", "text", "lang")
+      .select($"url", $"ts".cast("timestamp").as("warc_ts"),
+        $"html", $"text", $"lang")
+    val r3 = Audit.runIncremental(day1.unionByName(day2), rules,
+      Map.empty, cfg, dir, "run3")
+    assert(r3.isDefined)
+    val dupKeys = r3.get.violations
+      .where($"rule_id" === "unique_url").select("key").as[String].collect()
+    assert(dupKeys.toSeq === Seq("https://h0.example.com/a"))
+    // global verdict counts the FULL table as checked, not just pending
+    val gv = r3.get.verdicts
+      .where($"rule_id" === "unique_url").select("checked", "violations")
+      .as[(Long, Long)].collect().head
+    assert(gv === ((4L, 1L)))
+  }
 }

@@ -50,14 +50,16 @@ class RunToSinkSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(sunk === direct)
 
-    // and the multi-scan strategy (narrow-row regime) is output-identical
-    val sink2 = Files.createTempDirectory("sink2").toString
-    val c = ValidationEngine.runToSink(data.pages, PagesRules.catalog,
-      Map("hosts" -> data.hosts), cfg.copy(persistProjection = false), sink2)
-    assert(vioSet(c.violations) === vioSet(a.violations))
-    assert(verdictMap(c.verdicts) === verdictMap(a.verdicts))
-    val sunk2 = spark.read.parquet(s"$sink2/hist_text_len")
-      .as[(String, Long, Long)].collect().toSet
-    assert(sunk2 === direct)
+    // every stage strategy is output-identical (default above = "parquet")
+    for (strategy <- Seq("multi-scan", "memory")) {
+      val sinkN = Files.createTempDirectory(s"sink_$strategy").toString
+      val c = ValidationEngine.runToSink(data.pages, PagesRules.catalog,
+        Map("hosts" -> data.hosts), cfg.copy(stage = strategy), sinkN)
+      assert(vioSet(c.violations) === vioSet(a.violations), strategy)
+      assert(verdictMap(c.verdicts) === verdictMap(a.verdicts), strategy)
+      val sunkN = spark.read.parquet(s"$sinkN/hist_text_len")
+        .as[(String, Long, Long)].collect().toSet
+      assert(sunkN === direct, strategy)
+    }
   }
 }

@@ -60,6 +60,29 @@ class SimilaritySpec extends SparkSuite {
     pairs.foreach { case (a, b) => assert(a % 3 === b % 3, s"($a,$b)") }
   }
 
+  test("cosine near-dups: stop-band caps a degenerate hot bucket, verdicts on the rest unchanged") {
+    // 50 templated vectors share ONE direction (⇒ one SRP bucket per table:
+    // 50·49/2 = 1225 candidate pairs each, the quadratic blowup), plus two
+    // genuine near-dup pairs in other directions.
+    val hot = (0 until 50).map(i => (i.toLong, vec(0, 0)))
+    val pairA = Seq((100L, vec(1, 5)), (101L, vec(1, 5)))
+    val pairB = Seq((200L, vec(2, 9)), (201L, vec(2, 9)))
+    val df = (hot ++ pairA ++ pairB).toDF("vec_id", "embedding")
+
+    val capped = Similarity.cosineNearDups(df, "vec_id", "embedding",
+      threshold = 0.999, planes = 6, tables = 3, maxBucketSize = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the hot-template pairs are stop-banded away; the genuine pairs survive
+    assert(capped === Set((100L, 101L), (200L, 201L)), capped.toString)
+
+    // uncapped still finds the genuine pairs PLUS the quadratic hot mass
+    val uncapped = Similarity.cosineNearDups(df, "vec_id", "embedding",
+      threshold = 0.999, planes = 6, tables = 3, maxBucketSize = 100000)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.size > 1000, uncapped.size.toString)
+    assert((capped -- uncapped).isEmpty)
+  }
+
   test("SRP buckets are deterministic across runs and partitioning") {
     val b1 = corpus.select($"vec_id",
       Similarity.srpBucket($"embedding".cast("array<double>"), 8).as("b"))
