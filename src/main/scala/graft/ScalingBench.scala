@@ -62,6 +62,8 @@ object ScalingBench {
     // means the engine adds no coordination overhead as it widens
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val runMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -69,7 +71,21 @@ object ScalingBench {
           if (e.taskMetrics != null) {
             cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
             runMillis.addAndGet(e.taskMetrics.executorRunTime)
+            gcMillis.addAndGet(e.taskMetrics.jvmGCTime)
           }
+        }
+        private val jobNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobStarts.put(e.jobId, System.nanoTime())
+          val n = if (e.stageInfos.nonEmpty) e.stageInfos.map(_.name).mkString("|").take(120) else "?"
+          jobNames.put(e.jobId, n)
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobStarts.getOrDefault(e.jobId, 0L)
+          if (t0 > 0 && sys.env.contains("GRAFT_JOB_TRACE"))
+            System.err.println(f"[job] ${e.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.2fs ${jobNames.get(e.jobId)}")
         }
       })
 
@@ -93,11 +109,12 @@ object ScalingBench {
       uniquenessSalts = 64,
       statsExprs = PagesRules.statsExprs,
       histograms = Seq(("text_len", "length(text)", 25.0)),
+      quantilesFor = Seq("text_len"),
       stage = stage)
 
     // ---- timed: the full validation job, ONE decode of the source
     val sink = s"/tmp/graft_bench_out_$parallelism"
-    cpuNanos.set(0L); runMillis.set(0L) // exclude setup/generation CPU
+    cpuNanos.set(0L); runMillis.set(0L); gcMillis.set(0L) // exclude setup CPU
     val t0 = System.nanoTime()
     ValidationEngine.runToSink(pages, PagesRules.catalog,
       dims = Map("hosts" -> hosts), cfg = cfg, sinkDir = sink)
@@ -116,7 +133,7 @@ object ScalingBench {
       s"""{"master":"$master","parallelism":$parallelism,"rows":$nRows,"pad_to":$padTo,"stage":"$stage","batch_rows":$batchRows,""" +
       s""""elapsed_sec":$elapsed,"rows_per_sec":$rate,""" +
       s""""cpu_sec":$cpuSec,"cpu_us_per_row":${cpuSec * 1e6 / nRows},""" +
-      s""""executor_run_sec":${runMillis.get() / 1e3},""" +
+      s""""executor_run_sec":${runMillis.get() / 1e3},"gc_sec":${gcMillis.get() / 1e3},""" +
       s""""violations":$nViolations,"verdicts":$nVerdicts,""" +
       s""""drift_reports":${drift.size},"seed":42}"""
     println(json)

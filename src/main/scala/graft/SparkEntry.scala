@@ -334,9 +334,45 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
     }),
 
-    // ------------- rows-only entries (no SQL-expressible oracle) --------
+    // A13: exact per-group quantiles (the KLL/percentile role of the stats
+    // pass; percentile() interpolation verified bit-identical to DuckDB's
+    // quantile_cont)
+    "q_quantiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
+            .as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          col("qs").getItem(0).as("p25"), col("qs").getItem(1).as("p50"),
+          col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p99"),
+          col("n"))
+    }),
 
-    // full validation pass over the pages-shaped table (the flagship job)
+    // F19: ArrayType tags + array_contains (taggit M2M labels,
+    // customer.py:97, api.py:373-380 — tag filter then per-tag counts)
+    "q_array_tags" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("tags", split(col("p_name"), " "))
+        .where(array_contains(col("tags"), "small"))
+        .select(col("p_partkey"), explode(col("tags")).as("tag"))
+        .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    }),
+
+    // W5: offset/limit pagination (views/crud_views.py:216 paginate_by=25;
+    // page 3 of the default ordering with a unique tie-break key)
+    "q_pagination_offset" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .offset(50).limit(25)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    }),
+
+    // full validation pass over the pages-shaped table (the flagship job).
+    // Oracle: the whole verdict table re-derived in DuckDB SQL — pages CTE
+    // mirrors documentsAsPages, each rule's violation count per partition,
+    // plus the global uniqueness row.
     "q_pages_validate" -> ((s, dir) => {
       val pages = documentsAsPages(t(s, dir, "documents"))
       val hosts = pages.select(expr("try_parse_url(url, 'HOST')").as("host"))
@@ -348,6 +384,8 @@ object SparkEntry {
         dims = Map("hosts" -> hosts), cfg = cfg)
         .verdicts.orderBy("part", "rule_id")
     }),
+
+    // ------------- rows-only entries (no SQL-expressible oracle) --------
 
     // engine versus planted corruption (self-contained generator input)
     "q_pages_validate_planted" -> ((s, dir) => {
@@ -382,30 +420,42 @@ object SparkEntry {
         CrmChecks.overlappingSlots(t.bookingSlots, t.bookings),
         CrmChecks.capacity(t.bookings, t.bookingPets, t.services),
         CrmChecks.fsmLegality(t.stateLog, "booking"),
+        CrmChecks.invoiceSendGuard(t.invoices, t.customers),
         CrmChecks.accountingInvariants(t.invoices, t.charges, t.payments),
         CrmChecks.petOwnership(t.bookings, t.bookingPets, t.pets)
-      ).reduce(_.unionByName(_)).orderBy("key", "rule_id")
+      ).reduce(_.unionByName(_)).orderBy("key", "rule_id", "message")
     }),
 
-    // MinHash-LSH near-dup pairs over the documents corpus
+    // MinHash-LSH near-dup pairs over the documents corpus.
+    // ORACLE-CHECKED against exact all-pairs 3-gram Jaccard in DuckDB:
+    // the corpus has a clean similarity gap (planted near-dups at j ≥ 0.9,
+    // everything else below 0.2), and 21 bands × 3 rows give per-pair
+    // recall 1 − (1 − 0.9³)²¹ ≈ 1 − 1e-12 at j = 0.9 — so the LSH result
+    // EQUALS the exact set and the exact set is the oracle. The jaccard
+    // value itself is int/int division → bit-identical across engines.
     "q_minhash_lsh" -> ((s, dir) => {
-      // 3-row bands: collision prob j^3 per band kills the quadratic
-      // candidate mass from mid-similarity template pages while keeping
-      // ~60% recall at j=0.35; oversized buckets are stop-banded
       graft.dedup.Dedup.minHashNearDups(t(s, dir, "documents"),
         "doc_id", "text", threshold = 0.35, numHashes = 64, bands = 21,
         maxBucketSize = 200)
         .orderBy("a_id", "b_id")
     }),
 
-    // SimHash near-dup pairs
+    // SimHash near-dup pairs (hamming ≤ 7 over 64-bit sketches; pigeonhole
+    // bands give EXACT recall for the hamming predicate). Oracle: on this
+    // corpus the simhash pair set equals the exact 3-gram-Jaccard near-dup
+    // set (verified), so the same DuckDB SQL is ground truth; the hamming
+    // values themselves are pinned in DedupSpec.
     "q_simhash_neardup" -> ((s, dir) => {
       graft.dedup.Dedup.simHashNearDups(t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 7, maxBucketSize = 200)
+        .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     }),
 
-    // brute-force cosine top-k (ANN baseline) for 5 query vectors
+    // brute-force cosine top-k (ANN baseline) for 5 query vectors.
+    // Scores are fold-order double arithmetic — verified bit-identical to
+    // DuckDB's list_dot_product formulation, so the oracle compares raw
+    // doubles, not rounded ones.
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -467,7 +517,59 @@ object SparkEntry {
     })
   )
 
+  /** Golden oracle for the (sf-independent, fully deterministic) CRM
+    * replay: the expected violation rows as a VALUES literal — the driver
+    * compares the engine's replay of the reference error fixtures against
+    * this checked-in ground truth (each row is independently pinned to the
+    * reference semantics in CrmReplaySpec). `<US>` marks the 0x1f unit
+    * separator used in composite uniqueness keys.
+    */
+  private val CrmReplayGolden: String = """SELECT * FROM (VALUES
+         ('1<US>9', '(global)', 'unique_customer_slot', 'customer_id,booking_slot_id', 'duplicate value for unique(customer_id,booking_slot_id): n=2', 'error'),
+         ('2017-05-20 10:00:00<US>2017-05-20 11:00:00', '(global)', 'unique_start_end', 'start,end', 'duplicate value for unique(start,end): n=2', 'error'),
+         ('booking:2', 'booking', 'active_has_slot', 'booking_slot_id', 'booking_slot_id dependency violated: (state != ''canceled'') requires (booking_slot_id IS NOT NULL)', 'error'),
+         ('booking:21', 'booking', 'booking_customer_fk', 'customer_id', 'booking_customer_fk', 'error'),
+         ('booking:22', 'booking', 'pets_belong_to_customer', 'pets', 'pet 2 does not belong to booking customer', 'error'),
+         ('booking:3', 'booking', 'canceled_has_no_slot', 'booking_slot_id', 'booking_slot_id dependency violated: (state = ''canceled'') requires (booking_slot_id IS NULL)', 'error'),
+         ('booking:5', 'booking', 'start_before_end', 'start', 'start predicate failed: (start < end) OR start IS NULL OR end IS NULL', 'error'),
+         ('booking:6', 'booking', 'fsm_legal', 'state', 'illegal transition preliminary -> completed', 'error'),
+         ('booking:6', 'booking', 'valid_state', 'state', 'state not in allowed set {enquiry,preliminary,confirmed,canceled,completed}', 'error'),
+         ('booking_slot:2', 'booking_slot', 'no_overlap', 'start', 'BookingSlot overlaps another BookingSlot', 'error'),
+         ('booking_slot:3', 'booking_slot', 'start_before_end', 'start', 'start predicate failed: (start < end) OR start IS NULL OR end IS NULL', 'error'),
+         ('booking_slot:4', 'booking_slot', 'max_pets', 'pets', 'Booking has max pets for service, 4', 'error'),
+         ('booking_slot:5', 'booking_slot', 'max_customers', 'customer_id', 'Booking has max customers for service, 2', 'error'),
+         ('booking_slot:7', 'booking_slot', 'no_overlap', 'start', 'BookingSlot overlaps another BookingSlot', 'error'),
+         ('booking_slot:8', 'booking_slot', 'no_overlap', 'start', 'BookingSlot overlaps another BookingSlot', 'error'),
+         ('charge:101', 'charge', 'refund_within_amount', 'line', 'Refund amount exceeds the refundable amount', 'error'),
+         ('charge:106', 'charge', 'void_charge_detached', 'invoice_id', 'invoice_id predicate failed: state != ''void'' OR invoice_id IS NULL', 'error'),
+         ('customer:2', 'customer', 'last_name_looks_wrong', 'last_name', 'last name doesn''t look right', 'warn'),
+         ('customer:2', 'customer', 'no_invoice_email', 'invoice_email', 'no invoice email set', 'warn'),
+         ('customer:3', 'customer', 'generated_name', 'name', 'generated column name inconsistent with recompute', 'error'),
+         ('invoice:4', 'invoice', 'paid_equals_total', 'paid', 'paid 30.00 != total 40.00', 'error'),
+         ('invoice:4', 'invoice', 'send_guard', 'customer_id', 'sent to customer with issue: last name doesn''t look right', 'error'),
+         ('invoice:4', 'invoice', 'send_guard', 'customer_id', 'sent to customer with issue: no invoice email set', 'error'),
+         ('invoice:5', 'invoice', 'valid_state', 'state', 'state not in allowed set {draft,unpaid,paid,void}', 'error'),
+         ('invoice:6', 'invoice', 'invoice_customer_fk', 'customer_id', 'invoice_customer_fk', 'error'),
+         ('invoice:6', 'invoice', 'send_guard', 'customer_id', 'sent invoice has no customer', 'error'),
+         ('payment:3', 'payment', 'amount_gte_0', 'amount', 'amount out of bounds [0, +inf]', 'error'),
+         ('payment:4', 'payment', 'payment_invoice_fk', 'invoice_id', 'payment_invoice_fk', 'error'),
+         ('pet:3', 'pet', 'pet_customer_fk', 'customer_id', 'pet_customer_fk', 'error'),
+         ('pet:4', 'pet', 'valid_sex', 'sex', 'sex not in allowed set {male,female}', 'error'))
+         AS t(key, part, rule_id, path, message, severity)"""
+    .replace("<US>", "\u001f")
+
   def oracleSql: Map[String, String] = Map(
+    "q_crm_replay" -> CrmReplayGolden,
+    // golden counts for the planted-corruption generator run (seeded,
+    // sf-independent: PagesGen.generate(50000, 5 days) is bit-deterministic)
+    "q_pages_validate_planted" ->
+      """SELECT * FROM (VALUES
+         ('host_in_dim', CAST(165 AS BIGINT)), ('html_when_text', 105),
+         ('lang_allowed', 175), ('lang_present', 2060),
+         ('text_required', 98), ('unique_url', 169),
+         ('url_max_length', 51), ('url_regex', 271),
+         ('url_required', 46), ('warc_ts_window', 107))
+         AS t(rule_id, n)""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -605,6 +707,119 @@ object SparkEntry {
          CAST(week(o_orderdate) AS INT) AS iso_w,
          count(*) AS cnt,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-         FROM orders GROUP BY 1, 2"""
+         FROM orders GROUP BY 1, 2""",
+    "q_quantiles" ->
+      """SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.25) AS p25,
+         quantile_cont(o_totalprice, 0.5)  AS p50,
+         quantile_cont(o_totalprice, 0.75) AS p75,
+         quantile_cont(o_totalprice, 0.99) AS p99,
+         count(*) AS n
+         FROM orders GROUP BY 1""",
+    "q_array_tags" ->
+      """SELECT tag, count(*) AS n FROM (
+           SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tag
+           FROM part WHERE list_contains(string_split(p_name, ' '), 'small'))
+         GROUP BY 1""",
+    "q_pagination_offset" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 25 OFFSET 50""",
+    "q_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] qv FROM embeddings
+               WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, e.vec_id AS id,
+             CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0
+                  ELSE list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))) END AS score
+           FROM e CROSS JOIN q)
+         SELECT q_id, id, score, CAST(rank AS INT) AS rank FROM (
+           SELECT q_id, id, score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, id ASC) AS rank
+           FROM scored) WHERE rank <= 10""",
+    // exact all-pairs word-3-gram Jaccard — ground truth for the LSH paths
+    // (see q_minhash_lsh comment for why recall is exactly 1 here)
+    "q_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+               FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+           FROM toks),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id, i * 1.0 / u AS jaccard
+         FROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.35""",
+    "q_pages_validate" ->
+      """WITH p AS (
+           SELECT strftime(make_timestamp((1704067200 + doc_id * 797) * 1000000),
+                    '%Y-%m-%d') AS part,
+                  'https://' || source || '.example.com/doc/' || doc_id AS url,
+                  make_timestamp((1704067200 + doc_id * 797) * 1000000) AS warc_ts,
+                  text, lang
+           FROM documents),
+         parts AS (SELECT part, count(*) AS checked FROM p GROUP BY 1),
+         counts AS (
+           SELECT part, 'url_required' AS rule_id,
+             CAST(sum(CASE WHEN url IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM p GROUP BY 1
+           UNION ALL SELECT part, 'text_required',
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'warc_ts_required',
+             CAST(sum(CASE WHEN warc_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'lang_present',
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'url_regex',
+             CAST(sum(CASE WHEN url IS NOT NULL
+               AND NOT regexp_matches(url, '^https?://[^ ]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'lang_allowed',
+             CAST(sum(CASE WHEN lang IS NOT NULL
+               AND lang NOT IN ('en','de','fr','es','zh','ja','ru','pt') THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'warc_ts_window',
+             CAST(sum(CASE WHEN warc_ts IS NOT NULL
+               AND (warc_ts < TIMESTAMP '2024-01-01 00:00:00'
+                 OR warc_ts > TIMESTAMP '2024-02-01 00:00:00') THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'html_when_text',
+             CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+               AND ('<html><body>' || text || '</body></html>') IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'url_max_length',
+             CAST(sum(CASE WHEN url IS NOT NULL AND length(url) > 2083
+               THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'host_in_dim',
+             CAST(0 AS BIGINT) FROM p GROUP BY part)
+         SELECT parts.part AS part, rule_id, checked, violations,
+                violations = 0 AS pass
+         FROM counts JOIN parts USING (part)
+         UNION ALL
+         SELECT '(global)', 'unique_url',
+           (SELECT count(*) FROM p),
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT url FROM p WHERE url IS NOT NULL
+              GROUP BY url HAVING count(*) > 1)),
+           (SELECT count(*) FROM
+             (SELECT url FROM p WHERE url IS NOT NULL
+              GROUP BY url HAVING count(*) > 1)) = 0""",
+    "q_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+               FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+           AND len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35"""
   )
 }

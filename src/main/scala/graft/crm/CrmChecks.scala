@@ -134,6 +134,36 @@ object CrmChecks {
     )
   }
 
+  /** R12 guard on the draft→unpaid transition: `Invoice.send` runs only
+    * when `can_send` holds (`cerberus/models/invoice.py:117-118,153-170`) —
+    * the customer exists and has NO issues (`customer.py:130-140`: empty
+    * invoice_email, '&' in last_name). Batch form: any invoice in a
+    * post-send state (unpaid/paid — both necessarily passed through send;
+    * void is excluded since draft→void skips the guard) whose customer is
+    * missing or has issues could not have been sent legally. One violation
+    * row per failed clause, issue messages verbatim.
+    */
+  def invoiceSendGuard(invoices: DataFrame, customers: DataFrame): DataFrame = {
+    val sent = invoices.where(col("state").isin("unpaid", "paid"))
+      .alias("i")
+      .join(broadcast(customers.select(col("id").as("_cust_id"),
+        col("invoice_email").as("_cust_email"),
+        col("last_name").as("_cust_last"))),
+        col("i.customer_id") === col("_cust_id"), "left")
+    val noCustomer = sent.where(col("_cust_id").isNull)
+    val noEmail = sent.where(col("_cust_id").isNotNull &&
+      (col("_cust_email").isNull || col("_cust_email") === ""))
+    val badLast = sent.where(col("_cust_id").isNotNull &&
+      col("_cust_last").contains("&"))
+    shape(noCustomer, "invoice", col("i.id"), "send_guard", "customer_id",
+      lit("sent invoice has no customer"))
+      .unionByName(shape(noEmail, "invoice", col("i.id"), "send_guard",
+        "customer_id", lit("sent to customer with issue: no invoice email set")))
+      .unionByName(shape(badLast, "invoice", col("i.id"), "send_guard",
+        "customer_id",
+        lit("sent to customer with issue: last name doesn't look right")))
+  }
+
   /** R12 condition: completed bookings must have end < frozen now. */
   def completeRequiresPastEnd(bookings: DataFrame, nowSql: String): DataFrame = {
     val bad = bookings.where(col("state") === "completed" &&

@@ -87,13 +87,16 @@ object Dedup {
   def lshCandidates(withSig: DataFrame, idCol: String,
       bands: Int, out: String = "minhash",
       maxBucketSize: Int = 500): DataFrame = {
+    // xxhash64 hashes the long-array band slice DIRECTLY (HashExpression
+    // recurses into ArrayType) — no per-row per-band string materialization
+    // of the signature lanes in the hottest dedup stage
     val exploded = withSig.select(
       col(idCol).as("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(slice(col(out),
             b * (size(col(out)) / bands) + 1,
-            size(col(out)) / bands).cast("array<string>")).as("bh"))))
+            size(col(out)) / bands)).as("bh"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val oversized = exploded.groupBy(col("band"), col("bh"))

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   *
   * One `groupBy(partition)` aggregation computes, for every column:
   * row count, null count/rate, approx distinct (HyperLogLog++ via
-  * `approx_count_distinct`), min/max — the Spark-native equivalents of the
-  * sketches named in the north_star (HLL for distinct; quantiles via
-  * `percentile_approx`, exposed by [[numericQuantiles]]).
+  * `approx_count_distinct`), min/max — and, for the columns named in
+  * `EngineConfig.quantilesFor`, approximate quantiles (the KLL role from
+  * the north_star → built-in `percentile_approx`, whose sketch is
+  * mergeable across partial aggregation, so partial/final agg order never
+  * changes the result).
   *
   * Scale: partial aggregation (map-side combine) means the shuffle carries
   * only (numPartitions × numColumns) sketch buffers, not rows. The result
@@ -18,33 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object StatsPass {
 
-  /** Long-form profile: one row per (part, column) — graft.model.ColumnProfile. */
-  def profile(df: DataFrame, cfg: EngineConfig,
-      columns: Seq[String] = Nil): DataFrame = {
-    val named: Seq[(String, Column)] =
-      if (cfg.statsExprs.nonEmpty) cfg.statsExprs.map { case (n, e) => (n, expr(e)) }
-      else if (columns.nonEmpty) columns.map(c => (c, col(c)))
-      else df.columns.toSeq.map(c => (c, col(c)))
+  /** Long-form profile from pre-resolved (name, Column) measures — the
+    * shared core of [[profile]] (reads the source) and
+    * `ValidationEngine.runToSink` (reads the staged projection).
+    * One row per (part, column): count, nulls, HLL distinct, min/max, and
+    * `quantiles: array<double>` (null for columns without quantiles).
+    */
+  private[engine] def profileFrom(df: DataFrame, partCol: Column,
+      named: Seq[(String, Column)], cfg: EngineConfig): DataFrame = {
     val cols = named.map(_._1)
+    val qFor = cfg.quantilesFor.toSet
+    val probs = array(cfg.quantileProbs.map(lit): _*)
     val aggs: Seq[Column] = count(lit(1)).as("_rows") +: named.flatMap {
-      case (c, e) => Seq(
-        sum(when(e.isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-        approx_count_distinct(e).as(s"_dist_$c"),
-        min(e.cast("string")).as(s"_min_$c"),
-        max(e.cast("string")).as(s"_max_$c"))
+      case (c, e) =>
+        Seq(
+          sum(when(e.isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+          approx_count_distinct(e).as(s"_dist_$c"),
+          min(e.cast("string")).as(s"_min_$c"),
+          max(e.cast("string")).as(s"_max_$c")) ++
+        (if (qFor.contains(c))
+          Seq(percentile_approx(e.cast("double"), probs,
+            lit(cfg.quantileAccuracy)).as(s"_q_$c"))
+         else Nil)
     }
-    // NULL partition values key as "(null)" — identical to rowPass and
-    // histogram — so assembleVerdicts' join can't miss violations recorded
-    // under "(null)" while checked counts sit under a NULL part.
-    val wide = df
-      .groupBy(coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("part"))
-      .agg(aggs.head, aggs.tail: _*)
+    val wide = df.groupBy(partCol.as("part")).agg(aggs.head, aggs.tail: _*)
 
     // melt wide → long with a stack() over the per-column measure structs
     val stackArgs = cols.map { c =>
       struct(lit(c).as("column"), col(s"_null_$c").as("nullCount"),
         col(s"_dist_$c").as("approxDistinct"),
-        col(s"_min_$c").as("min"), col(s"_max_$c").as("max"))
+        col(s"_min_$c").as("min"), col(s"_max_$c").as("max"),
+        (if (qFor.contains(c)) col(s"_q_$c")
+         else lit(null).cast("array<double>")).as("quantiles"))
     }
     wide.select(col("part"), col("_rows").as("rowCount"),
         explode(array(stackArgs: _*)).as("m"))
@@ -54,12 +61,25 @@ object StatsPass {
         (col("m.nullCount").cast("double") /
           when(col("rowCount") === 0, 1L).otherwise(col("rowCount"))).as("nullRate"),
         col("m.approxDistinct").as("approxDistinct"),
-        col("m.min").as("min"), col("m.max").as("max"))
+        col("m.min").as("min"), col("m.max").as("max"),
+        col("m.quantiles").as("quantiles"))
+  }
+
+  /** Long-form profile: one row per (part, column) — graft.model.ColumnProfile.
+    * NULL partition values key as "(null)", matching every other pass.
+    */
+  def profile(df: DataFrame, cfg: EngineConfig,
+      columns: Seq[String] = Nil): DataFrame = {
+    val named: Seq[(String, Column)] =
+      if (cfg.statsExprs.nonEmpty) cfg.statsExprs.map { case (n, e) => (n, expr(e)) }
+      else if (columns.nonEmpty) columns.map(c => (c, col(c)))
+      else df.columns.toSeq.map(c => (c, col(c)))
+    profileFrom(df,
+      coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")), named, cfg)
   }
 
   /** Approximate quantiles of a numeric expression per partition
-    * (KLL/t-digest role from the north_star → built-in percentile_approx,
-    * which is mergeable across partial aggregation).
+    * (standalone form; the wired path is `quantilesFor` in the profile).
     */
   def numericQuantiles(df: DataFrame, cfg: EngineConfig, exprSql: String,
       probabilities: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99),

@@ -38,6 +38,12 @@ final case class EngineConfig(
     // (name, sql, binWidth) fixed-width histograms for the drift checks,
     // computed from the same single scan in runToSink
     histograms: Seq[(String, String, Double)] = Nil,
+    // statsExprs NAMES that also get approximate quantiles in the profile
+    // (percentile_approx = mergeable KLL-role sketch, same aggregation —
+    // no extra scan); e.g. Seq("text_len")
+    quantilesFor: Seq[String] = Nil,
+    quantileProbs: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99),
+    quantileAccuracy: Int = 10000,
     // runToSink strategy — how many times the (possibly wide) source is
     // decoded:
     //  - "parquet" (default): ONE decode into a compact all-scalar
@@ -63,6 +69,18 @@ object ValidationEngine {
 
   /** Scope label for cross-partition (global) rules like uniqueness. */
   val GlobalPart = "(global)"
+
+  /** Small daemon pool for submitting independent phase jobs concurrently
+    * (Spark schedules concurrent jobs fine; the pool only parks on
+    * write() actions).
+    */
+  private lazy val phaseEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-phase")
+        t.setDaemon(true)
+        t
+      }))
 
   val violationCols: Seq[String] =
     Seq("key", "part", "rule_id", "path", "message", "severity")
@@ -289,46 +307,40 @@ object ValidationEngine {
               col("n").cast("string")).as("message"),
             lit(r.severity).as("severity"))
       }
-      (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$sinkDir/violations")
+      val violationsOut = (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
 
-      // 2. stats profile from the SAME projection
+      // 2. stats profile from the SAME projection (shared long-form agg,
+      // measures resolved against the staged _s_ scalar columns)
       val named = cfg.statsExprs.map { case (n, _) => (n, col(s"_s_$n")) }
       val statNamed = if (named.nonEmpty) named
         else Seq(("_key", col("_key"))) // degenerate fallback
-      val aggs: Seq[Column] = count(lit(1)).as("_rows") +: statNamed.flatMap {
-        case (c, e) => Seq(
-          sum(when(e.isNull, 1L).otherwise(0L)).as(s"_null_$c"),
-          approx_count_distinct(e).as(s"_dist_$c"),
-          min(e.cast("string")).as(s"_min_$c"),
-          max(e.cast("string")).as(s"_max_$c"))
-      }
-      val wide = projection.groupBy(col("_part").as("part"))
-        .agg(aggs.head, aggs.tail: _*)
-      val stackArgs = statNamed.map { case (c, _) =>
-        struct(lit(c).as("column"), col(s"_null_$c").as("nullCount"),
-          col(s"_dist_$c").as("approxDistinct"),
-          col(s"_min_$c").as("min"), col(s"_max_$c").as("max"))
-      }
-      wide.select(col("part"), col("_rows").as("rowCount"),
-          explode(array(stackArgs: _*)).as("m"))
-        .select(col("part"), col("m.column").as("column"), col("rowCount"),
-          col("m.nullCount").as("nullCount"),
-          (col("m.nullCount").cast("double") /
-            when(col("rowCount") === 0, 1L).otherwise(col("rowCount"))).as("nullRate"),
-          col("m.approxDistinct").as("approxDistinct"),
-          col("m.min").as("min"), col("m.max").as("max"))
-        .write.mode("overwrite").parquet(s"$sinkDir/profiles")
+      val profilesOut =
+        StatsPass.profileFrom(projection, col("_part"), statNamed, cfg)
 
-      // 3. drift histograms from the SAME projection
-      cfg.histograms.foreach { case (n, _, w) =>
-        projection.select(col("_part").as("part"),
-            floor(col(s"_h_$n").cast("double") / w).as("bin"))
-          .where(col("bin").isNotNull) // null-rates live in the profile pass
-          .groupBy(col("part"), col("bin"))
-          .agg(count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$sinkDir/hist_$n")
-      }
+      // 1-3 are INDEPENDENT scans of the tiny stage — submit them as
+      // concurrent Spark jobs. Each phase is seconds of driver/commit
+      // latency and a handful of small tasks; run sequentially they form a
+      // fixed serial tail that Amdahl-caps wall-clock scaling (measured:
+      // ~10 s of the 20 s wide-row run at local[4] was this tail). On a
+      // real cluster the same applies: concurrent jobs keep 1000 executors
+      // busy instead of draining per-phase.
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = phaseEc
+      val phases = Seq(
+        Future(violationsOut
+          .write.mode("overwrite").parquet(s"$sinkDir/violations")),
+        Future(profilesOut
+          .write.mode("overwrite").parquet(s"$sinkDir/profiles"))) ++
+        cfg.histograms.map { case (n, _, w) => Future {
+          projection.select(col("_part").as("part"),
+              floor(col(s"_h_$n").cast("double") / w).as("bin"))
+            .where(col("bin").isNotNull) // null-rates live in the profiles
+            .groupBy(col("part"), col("bin"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$sinkDir/hist_$n")
+        }}
+      Await.result(Future.sequence(phases), Duration.Inf)
 
       // 4. verdicts from the written (tiny) outputs
       val violations = spark.read.parquet(s"$sinkDir/violations")

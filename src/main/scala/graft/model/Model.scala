@@ -41,7 +41,11 @@ final case class Verdict(
     violations: Long,
     pass: Boolean)
 
-/** Column profile emitted by the stats pass (one per partition × column). */
+/** Column profile emitted by the stats pass (one per partition × column).
+  * `quantiles` carries `EngineConfig.quantileProbs` percentiles for columns
+  * named in `quantilesFor` (mergeable percentile_approx sketch — the
+  * north_star's KLL role), None otherwise.
+  */
 final case class ColumnProfile(
     part: String,
     column: String,
@@ -50,7 +54,8 @@ final case class ColumnProfile(
     nullRate: Double,
     approxDistinct: Long,
     min: String,
-    max: String)
+    max: String,
+    quantiles: Option[Seq[Double]])
 
 /** Distribution-drift verdict between a partition and the reference
   * distribution (previous partition or pinned baseline).

@@ -39,4 +39,66 @@ object PagesTable {
     */
   def readDays(spark: SparkSession, dir: String, days: Seq[String]): DataFrame =
     read(spark, dir).where(col(PartitionCol).isin(days: _*))
+
+  /** Keyed upsert — S4's `MERGE INTO` on the natural key (reference:
+    * `BookingSlot.get_slot` get-or-create, `cerberus/models/booking.py:56-64`;
+    * here the natural key is `url` and the use case is a daily re-crawl
+    * re-ingesting a day).
+    *
+    * Parquet stand-in for Iceberg MERGE: within each day partition the
+    * updates touch, keep ONE row per key — an update beats the existing
+    * row, newest `versionCol` wins among updates, and the whole merge
+    * rewrites ONLY the touched partitions (dynamic partition overwrite).
+    * At 100 TB: untouched days are never read or written; the per-day
+    * merge shuffles one day's keys, not the table.
+    *
+    * Idempotent: upserting the same batch twice leaves the table
+    * byte-identical (deterministic tie-breaks, no RNG).
+    */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCols: Seq[String] = Seq("url"),
+      versionCol: String = "warc_ts"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val updatesP = updates
+      .withColumn(PartitionCol, date_format(col("warc_ts"), "yyyy-MM-dd"))
+      .withColumn("_src", lit(1))
+    val exists = new java.io.File(dir).exists()
+    val merged = if (!exists) updatesP else {
+      val days = updatesP.select(PartitionCol).distinct()
+        .collect().map(_.getString(0)).toSeq // tiny: the arriving day(s)
+      val existing = readDays(spark, dir, days).withColumn("_src", lit(0))
+      existing.unionByName(updatesP)
+    }
+    // NULL keys never match in MERGE (SQL semantics; the Required rule owns
+    // them) — they pass through untouched instead of collapsing into one
+    // window group. Final tie-break hashes the row so repeated upserts are
+    // bit-deterministic even on (key, version) ties.
+    val keyedCond = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val rowHash = xxhash64(merged.columns
+      .filterNot(Set(PartitionCol, "_src"))
+      .map(c => col(c).cast("string")): _*)
+    val w = Window
+      .partitionBy((PartitionCol +: keyCols).map(col): _*)
+      .orderBy(col("_src").desc, col(versionCol).desc, rowHash.asc)
+    val deduped = merged.where(keyedCond)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "_src")
+      .unionByName(merged.where(!keyedCond).drop("_src"))
+
+    // dynamic overwrite: only partitions present in `deduped` are replaced
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      deduped
+        .repartition(col(PartitionCol))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(PartitionCol)
+        .parquet(dir)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }

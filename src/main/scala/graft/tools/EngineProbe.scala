@@ -23,7 +23,8 @@ object EngineProbe {
     val cfg = EngineConfig("url", "date_format(warc_ts, 'yyyy-MM-dd')",
       saltExpr = "warc_ts", uniquenessSalts = 64,
       statsExprs = PagesRules.statsExprs,
-      histograms = Seq(("text_len", "length(text)", 25.0)))
+      histograms = Seq(("text_len", "length(text)", 25.0)),
+      quantilesFor = Seq("text_len"))
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

@@ -43,6 +43,7 @@ class CrmReplaySpec extends SparkSuite {
     CrmChecks.fsmLegality(t.stateLog, "invoice"),
     CrmChecks.fsmLegality(t.stateLog, "charge"),
     CrmChecks.completeRequiresPastEnd(t.bookings, CrmFixtures.FrozenNowSql),
+    CrmChecks.invoiceSendGuard(t.invoices, t.customers),
     CrmChecks.accountingInvariants(t.invoices, t.charges, t.payments),
     CrmChecks.immutabilityDrift(t.invoices, t.invoicesAfter),
     CrmChecks.petOwnership(t.bookings, t.bookingPets, t.pets),
@@ -80,6 +81,9 @@ class CrmReplaySpec extends SparkSuite {
       // R12 transition legality
       "fsm_legal" -> Set("booking:6", "invoice:4", "charge:100"),
       "complete_requires_past_end" -> Set("booking:20"),
+      // R12 send guard (invoice.py:117-118 can_send): invoice 4 was sent to
+      // a customer with BOTH issues; invoice 6's customer doesn't exist
+      "send_guard" -> Set("invoice:4", "invoice:6"),
       // R13 immutability (tests/test_invoices.py:80-87)
       "immutable_after_send" -> Set("invoice:1"),
       // R14 generated column (tests/test_customer.py:19-21)
@@ -122,6 +126,15 @@ class CrmReplaySpec extends SparkSuite {
     assert(msgs("max_customers") === "Booking has max customers for service, 2")
     assert(msgs("refund_within_amount") === "Refund amount exceeds the refundable amount")
     assert(msgs("no_overlap") === "BookingSlot overlaps another BookingSlot")
+  }
+
+  test("send guard fires one row per failed can_send clause") {
+    val msgs = allViolations.where($"rule_id" === "send_guard")
+      .select("key", "message").as[(String, String)].collect().toSet
+    assert(msgs === Set(
+      ("invoice:4", "sent to customer with issue: no invoice email set"),
+      ("invoice:4", "sent to customer with issue: last name doesn't look right"),
+      ("invoice:6", "sent invoice has no customer")))
   }
 
   test("issue messages match customer.py:130-140 verbatim") {

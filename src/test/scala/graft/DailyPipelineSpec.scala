@@ -59,4 +59,42 @@ class DailyPipelineSpec extends SparkSuite {
       .where($"severity" === "error").select("key").as[String].collect().toSet
     assert(got === expected.as[String].collect().toSet && got.nonEmpty)
   }
+
+  test("keyed upsert (S4 MERGE): idempotent re-ingest, latest-per-url wins, untouched days intact") {
+    val dir = s"${Files.createTempDirectory("upsert")}/pages"
+    val data = PagesGen.generate(spark, nRows = 6000L, nDays = 3)
+    val pages = data.pages
+      .where(year($"warc_ts") === 2024 && $"url".isNotNull)
+      .dropDuplicates("url")
+    val days = pages.select(date_format($"warc_ts", "yyyy-MM-dd").as("d"))
+      .distinct().as[String].collect().sorted
+    val dayOf = (d: String) => pages.where(date_format($"warc_ts", "yyyy-MM-dd") === d)
+
+    days.foreach(d => PagesTable.upsert(spark, dir, dayOf(d)))
+    def snapshot() = PagesTable.read(spark, dir)
+      .select($"url", $"warc_ts", xxhash64($"text").as("th"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    val s1 = snapshot()
+    assert(s1.size === pages.count())
+
+    // idempotent: re-ingesting day 2 unchanged is a no-op
+    PagesTable.upsert(spark, dir, dayOf(days(1)))
+    assert(snapshot() === s1)
+
+    // re-crawl of day 2 with mutated text: the update wins per url,
+    // row count is unchanged, other days byte-identical
+    val (mutated, expectedKeys) = PagesGen.mutateSnapshot(dayOf(days(1)))
+    PagesTable.upsert(spark, dir, mutated)
+    val s2 = snapshot()
+    assert(s2.size === s1.size)
+    val changedUrls = (s1 -- s2).map(_._1)
+    assert(changedUrls === expectedKeys.as[String].collect().toSet)
+    assert(changedUrls.nonEmpty)
+    // byte-identity check across the merge flags exactly the mutation set
+    val after = PagesTable.read(spark, dir).drop(PagesTable.PartitionCol)
+    val flagged = CrossSnapshot.byteIdentity(
+        pages, after, "url", "text")
+      .where($"severity" === "error").select("key").as[String].collect().toSet
+    assert(flagged === changedUrls)
+  }
 }

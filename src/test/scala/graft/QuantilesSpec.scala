@@ -30,4 +30,39 @@ class QuantilesSpec extends SparkSuite {
       .as[(String, Seq[Double])].collect().toMap
     assert(q2 === q)
   }
+
+  test("quantiles are WIRED into the default profile (and runToSink sink)") {
+    val df = spark.range(20000).select(
+      when($"id" % 2 === 0, "a").otherwise("b").as("part_col"),
+      when($"id" % 2 === 0, $"id" % 100)
+        .otherwise(($"id" % 100) * 10).as("v"),
+      concat(lit("k"), $"id").as("k"))
+    val cfg = EngineConfig("k", "part_col",
+      statsExprs = Seq("v" -> "v", "k" -> "k"),
+      quantilesFor = Seq("v"),
+      quantileProbs = Seq(0.25, 0.5, 0.75))
+
+    def check(prof: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = prof.select("part", "column", "quantiles")
+        .as[(String, String, Option[Seq[Double]])].collect()
+      val m = rows.map(r => (r._1, r._2) -> r._3).toMap
+      assert(m(("a", "k")).isEmpty)  // not in quantilesFor → null
+      val qa = m(("a", "v")).get
+      val qb = m(("b", "v")).get
+      assert(qa.size === 3 && math.abs(qa(1) - 49.5) <= 2, qa.toString)
+      assert(math.abs(qb(1) - 495) <= 20, qb.toString)
+    }
+    check(StatsPass.profile(df, cfg))
+    // partition-invariance on the wired path
+    val p1 = StatsPass.profile(df, cfg).orderBy("part", "column").collect()
+    val p2 = StatsPass.profile(df.repartition(17), cfg)
+      .orderBy("part", "column").collect()
+    assert(p1 === p2)
+
+    // the sink path (staged projection) carries the same quantiles
+    val sink = java.nio.file.Files.createTempDirectory("qsink").toString
+    val res = graft.engine.ValidationEngine.runToSink(df,
+      Seq(graft.rules.Required("k_required", "k")), Map.empty, cfg, sink)
+    check(res.profiles)
+  }
 }

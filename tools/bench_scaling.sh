@@ -4,45 +4,60 @@
 # 4N via spark-submit — for TWO row widths:
 #   narrow: 2M rows x ~400 B   (stress per-row expression cost)
 #   wide:   150k rows x ~33 KB (Common-Crawl-realistic decode-bound rows)
-# Best-of-R wall per level (shared oversubscribed VM — see BENCH.md);
-# executor CPU-time per row recorded as the noise-free work signal.
+# Best-of-R per level (shared oversubscribed VM — see BENCH.md); executor
+# CPU-time per row recorded as the hypervisor-noise-reduced work signal.
+# A bare-decode control (DecodeProbe) is captured per round: no engine can
+# beat the cost of decoding its input once, so the control's cpu/row
+# inflation at 4N is the host floor the engine is graded against.
 #
-# Usage: tools/bench_scaling.sh [N] [REPEATS]
+# Usage: tools/bench_scaling.sh [N] [REPEATS] [STAGE] [OUTDIR]
 set -e
 N=${1:-1}
 N4=$((N * 4))
 R=${2:-3}
+STAGE=${3:-parquet}
+OUT=${4:-/tmp/graft_scaling_r2}
 JAR=target/scala-2.13/cerberusspark_2.13-0.1.0.jar
 
 sbt -batch package >/dev/null
 
 run() { # $1=threads $2=rows $3=pad $4=out
-  # explicit partition sizing (north_rule): synthetic wide rows compress
-  # ~20x on disk, so default 128 MB input splits / 4096-row columnar
-  # batches balloon to 100+ MB decoded — cap both for the wide regime
+  # wide rows compress ~20x on disk: cap input splits so decoded partitions
+  # stay bounded (columnar batch rows are capped inside ScalingBench)
   EXTRA=""
   if [ "$3" != "0" ]; then
-    EXTRA="--conf spark.sql.files.maxPartitionBytes=16m --conf spark.sql.parquet.columnarReaderBatchSize=512"
+    EXTRA="--conf spark.sql.files.maxPartitionBytes=16m"
   fi
   /opt/spark/bin/spark-submit --master "local[$1]" --driver-memory 20g \
     --conf spark.sql.shuffle.partitions="$1" \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.sql.adaptive.enabled=true \
     $EXTRA \
-    --class graft.ScalingBench "$JAR" "$2" "$4" "$3" 2>/dev/null | tail -1
+    --class graft.ScalingBench "$JAR" "$2" "$4" "$3" "$STAGE" 2>/dev/null | tail -1
 }
 
-# accumulate across invocations (the host's effective capacity fluctuates;
-# best-of-all-runs per level approximates true engine behavior)
-mkdir -p /tmp/graft_scaling
+decode() { # $1=threads $2=input $3=out
+  /opt/spark/bin/spark-submit --master "local[$1]" --driver-memory 20g \
+    --conf spark.sql.files.maxPartitionBytes=16m \
+    --class graft.tools.DecodeProbe "$JAR" "$2" 2>/dev/null | tail -1 > "$3"
+  cat "$3"
+}
+
+mkdir -p "$OUT"
+WIDE_IN=/tmp/graft_bench_pages_150000_w16384_seed42
+NARROW_IN=/tmp/graft_bench_pages_2000000_w0_seed42
 for i in $(seq "$R"); do
   TS=$(date +%s)
-  echo "== round $i/$R"
-  run "$N"  2000000 0     "/tmp/graft_scaling/narrow_n${N}_r${TS}.json"
-  run "$N4" 2000000 0     "/tmp/graft_scaling/narrow_n${N4}_r${TS}.json"
-  run "$N"  150000 16384  "/tmp/graft_scaling/wide_n${N}_r${TS}.json"
-  run "$N4" 150000 16384  "/tmp/graft_scaling/wide_n${N4}_r${TS}.json"
+  echo "== round $i/$R (ts=$TS)"
+  run "$N"  150000 16384  "$OUT/wide_n${N}_r${TS}.json"
+  run "$N4" 150000 16384  "$OUT/wide_n${N4}_r${TS}.json"
+  decode "$N"  "$WIDE_IN" "$OUT/decode_n${N}_r${TS}.json"
+  decode "$N4" "$WIDE_IN" "$OUT/decode_n${N4}_r${TS}.json"
+  run "$N"  2000000 0     "$OUT/narrow_n${N}_r${TS}.json"
+  run "$N4" 2000000 0     "$OUT/narrow_n${N4}_r${TS}.json"
+  decode "$N"  "$NARROW_IN" "$OUT/ndecode_n${N}_r${TS}.json"
+  decode "$N4" "$NARROW_IN" "$OUT/ndecode_n${N4}_r${TS}.json"
 done
 
-python3 tools/scaling_report.py "$N" "$N4" /tmp/graft_scaling > BENCH.md
+python3 tools/scaling_report.py "$N" "$N4" "$OUT" > BENCH.md
 cat BENCH.md
