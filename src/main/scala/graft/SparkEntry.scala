@@ -482,16 +482,18 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // text-quality profile: langId, quality score, token counts
+    // text-quality profile: langId, quality score, token counts — all four
+    // measures oracle-checked against a DuckDB re-derivation (regex counts
+    // + the same fixed-order double arithmetic). The xxhash64 fingerprint
+    // is not SQL-expressible and lives in TextFunctionsSpec instead.
     "q_text_quality" -> ((s, dir) => {
       import graft.text.{TextFunctions => TF}
       t(s, dir, "documents").select(
         col("doc_id"),
         TF.langId(col("text")).as("lang_id"),
         round(TF.qualityScore(col("text")), 4).as("quality"),
-        TF.tokenCount(col("text")).as("tokens"),
-        TF.bpeishTokenCount(col("text")).as("bpe_tokens"),
-        TF.fingerprint(col("text")).as("fp"))
+        TF.tokenCount(col("text")).cast("long").as("tokens"),
+        TF.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -807,6 +809,69 @@ object SparkEntry {
            (SELECT count(*) FROM
              (SELECT url FROM p WHERE url IS NOT NULL
               GROUP BY url HAVING count(*) > 1)) = 0""",
+    "q_text_quality" ->
+      """WITH m AS (SELECT doc_id,
+           len(regexp_extract_all(coalesce(text,''), '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|auf)\b')) AS h_de,
+           len(regexp_extract_all(coalesce(text,''), '(?i)\b(the|and|of|to|is|in|that|it|was|for)\b')) AS h_en,
+           len(regexp_extract_all(coalesce(text,''), '(?i)\b(el|los|las|es|una|en|que|por|con|para)\b')) AS h_es,
+           len(regexp_extract_all(coalesce(text,''), '(?i)\b(le|la|les|et|est|une|dans|que|pour|pas)\b')) AS h_fr,
+           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
+                ELSE len(string_split_regex(trim(coalesce(text,'')), '\s+')) END AS toks,
+           len(regexp_extract_all(coalesce(text,''), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS bpe,
+           length(coalesce(text,'')) AS nch,
+           len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N}\s]')) AS punct,
+           len(regexp_extract_all(coalesce(text,''), '[\p{N}]')) AS dig
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_de,h_en,h_es,h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+                ELSE 'de' END AS lang_id,
+           round(least(CAST(toks AS DOUBLE)/100.0, 1.0) * 0.3
+             + least((CASE WHEN toks = 0 THEN 0.0
+                 ELSE CAST(h_de+h_en+h_es+h_fr AS DOUBLE)/toks END) * 4.0, 1.0) * 0.3
+             + greatest(0.0, 1.0 - (CASE WHEN nch = 0 THEN 0.0
+                 ELSE CAST(punct AS DOUBLE)/nch END) * 5.0) * 0.2
+             + greatest(0.0, 1.0 - (CASE WHEN nch = 0 THEN 0.0
+                 ELSE CAST(dig AS DOUBLE)/nch END) * 3.0) * 0.2, 4) AS quality,
+           CAST(toks AS BIGINT) AS tokens, CAST(bpe AS BIGINT) AS bpe_tokens
+         FROM m""",
+    "q_drift_report" ->
+      """WITH h AS (SELECT source AS part,
+             CAST(floor(n_chars / 25.0) AS BIGINT) AS bin, count(*) AS n
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT part,
+             CAST(CASE WHEN sum(n) > 1 THEN sum(n) ELSE 1 END AS DOUBLE) AS t
+           FROM h GROUP BY 1),
+         parts AS (SELECT DISTINCT part FROM h WHERE part != 'src0'),
+         base AS (SELECT bin, n FROM h WHERE part = 'src0'),
+         bins AS (SELECT part, bin FROM h WHERE part != 'src0'
+           UNION SELECT p.part, b.bin FROM parts p CROSS JOIN base b),
+         joined AS (
+           SELECT bins.part, bins.bin,
+                  CAST(coalesce(b.n, 0) AS DOUBLE) / bt.t AS pb,
+                  CAST(coalesce(c.n, 0) AS DOUBLE) / ct.t AS qc
+           FROM bins
+           LEFT JOIN base b ON b.bin = bins.bin
+           LEFT JOIN h c ON c.part = bins.part AND c.bin = bins.bin
+           JOIN tot ct ON ct.part = bins.part
+           CROSS JOIN (SELECT t FROM tot WHERE part = 'src0') bt),
+         smoothed AS (
+           SELECT part, bin, pb, qc,
+                  CASE WHEN pb > 1e-6 THEN pb ELSE 1e-6 END AS p,
+                  CASE WHEN qc > 1e-6 THEN qc ELSE 1e-6 END AS q
+           FROM joined),
+         psi AS (SELECT part, 'psi' AS metric, sum((q - p) * ln(q / p)) AS value
+           FROM smoothed GROUP BY 1),
+         cums AS (SELECT part, bin,
+             sum(pb) OVER (PARTITION BY part ORDER BY bin) AS cb,
+             sum(qc) OVER (PARTITION BY part ORDER BY bin) AS cc
+           FROM smoothed),
+         ks AS (SELECT part, 'ks' AS metric, max(abs(cb - cc)) AS value
+           FROM cums GROUP BY 1)
+         SELECT part, metric, round(value, 6) AS value, value <= 0.2 AS pass
+         FROM (SELECT * FROM psi UNION ALL SELECT * FROM ks)""",
     "q_simhash_neardup" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
                FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
