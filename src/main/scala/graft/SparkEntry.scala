@@ -24,10 +24,11 @@ object SparkEntry {
 
   /** Flagship: the full validation pass (row rules + referential +
     * uniqueness + stats) over a pages-shaped table derived from the
-    * sf0.001 documents, returning per-partition verdicts.
+    * documents testdata (driver smoke default sf0.001; override with
+    * SPARK_GRAFT_SF_DIR), returning per-partition verdicts.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val pages = documentsAsPages(t(spark, dir, "documents"))
     val hosts = pages.select(expr("try_parse_url(url, 'HOST')").as("host"))
       .where(col("host").isNotNull).distinct()

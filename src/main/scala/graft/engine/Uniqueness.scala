@@ -39,24 +39,56 @@ object Uniqueness {
   /** One violation per DISTINCT duplicated key value (message carries the
     * multiplicity). Uniqueness is a cross-partition GLOBAL rule, so its
     * violations carry the `(global)` scope rather than a data partition —
-    * this also keeps BOTH aggregation phases pure HashAggregate (carrying
+    * this also keeps the aggregation phases pure HashAggregate (carrying
     * a min(part-string) through them would force SortAggregate: string
     * buffers are not hash-mutable).
+    *
+    * Shuffle shape (the dominant cost at 10^12 keys): the salted counting
+    * phases shuffle an 8-byte xxhash64 of the key, NEVER the key string —
+    * at Common-Crawl url lengths that is ~8x fewer shuffle bytes. Because
+    * a 64-bit hash CAN collide (the birthday bound bites at billions of
+    * keys), hash-duplicates are only CANDIDATES: an exact verify pass
+    * joins the (tiny, broadcast) duplicate-hash set back and re-counts by
+    * the real key value, so the emitted violations are exact. The verify
+    * pass touches only candidate rows; in the worst case (everything
+    * duplicated) it degrades to the plain string-key aggregation, never
+    * below it.
     */
   def duplicateKeyViolations(df: DataFrame, rule: Unique,
       cfg: EngineConfig): DataFrame = {
     // SQL unique-constraint semantics: NULLs never collide (NULL != NULL);
     // missing keys are the Required rule's business, not this one's.
-    val partial = df
+    val keyed = df
       .where(rule.columns.map(col(_).isNotNull).reduce(_ && _))
       .select(
         concat_ws("\u001f", rule.columns.map(c => coalesce(col(c).cast("string"), lit("(null)"))): _*).as("_ukey"),
         saltCol(cfg, cfg.uniquenessSalts).as("_salt"))
-      .groupBy(col("_ukey"), col("_salt"))
+    violationsFromKeyed(keyed, rule, cfg)
+  }
+
+  /** Core two-phase salted + hash-shuffled pipeline over a pre-projected
+    * (_ukey, _salt) frame (shared by the engine's staged sink path).
+    */
+  private[engine] def violationsFromKeyed(keyed: DataFrame, rule: Unique,
+      cfg: EngineConfig): DataFrame = {
+    // phase 1: (hash, salt) partial counts — hot keys split S ways
+    // phase 2: per-hash totals — at most S rows per hash
+    val dupHashes = keyed
+      .select(xxhash64(col("_ukey")).as("_kh"), col("_salt"))
+      .groupBy(col("_kh"), col("_salt"))
       .agg(count(lit(1)).as("_n"))
-    partial
+      .groupBy(col("_kh"))
+      .agg(sum(col("_n")).as("_hn"))
+      .where(col("_hn") > 1)
+      .select("_kh")
+    // exact verify: candidate rows only (hash collisions re-split here).
+    // No broadcast hint: the dup-hash set is tiny in the expected case and
+    // AQE picks BHJ from its ACTUAL size; a pathological all-dups input
+    // falls back to a shuffle join instead of OOMing the driver.
+    keyed
+      .join(dupHashes, xxhash64(col("_ukey")) === col("_kh"))
       .groupBy(col("_ukey"))
-      .agg(sum(col("_n")).as("n"))
+      .agg(count(lit(1)).as("n"))
       .where(col("n") > 1)
       .select(
         col("_ukey").as("key"),

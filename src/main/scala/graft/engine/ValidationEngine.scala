@@ -179,8 +179,6 @@ object ValidationEngine {
     rowRules.map(r => (r.ruleId, r.path, RuleCompiler.message(r), r.severity)) ++
       refRules.map(r => (r.ruleId, r.path, RuleCompiler.message(r), r.severity))
 
-  private def bitWords(nRules: Int): Int = (nRules + 63) / 64
-
   /** The compact per-row projection everything derives from: key, part,
     * salt source, per-rule violation BITMASK (one long per 64 rules — all
     * the struct fields are rule-literal, so only the fired/not-fired bit is
@@ -291,21 +289,12 @@ object ValidationEngine {
       val uniqVios = uniqueRules.map { r =>
         val keyCols = r.columns.map(c => col(s"_u_$c"))
         val nonNull = keyCols.map(_.isNotNull).reduce(_ && _)
-        val ukey = concat_ws("\u001f", keyCols.map(_.cast("string")): _*)
-        projection.where(nonNull)
+        val ukey = concat_ws("\u001f",
+          keyCols.map(c => coalesce(c.cast("string"), lit("(null)"))): _*)
+        val keyed = projection.where(nonNull)
           .select(ukey.as("_ukey"),
             pmod(col("_saltsrc"), lit(cfg.uniquenessSalts.toLong)).as("_salt"))
-          .groupBy(col("_ukey"), col("_salt"))
-          .agg(count(lit(1)).as("_n"))
-          .groupBy(col("_ukey"))
-          .agg(sum(col("_n")).as("n"))
-          .where(col("n") > 1)
-          .select(col("_ukey").as("key"), lit(GlobalPart).as("part"),
-            lit(r.ruleId).as("rule_id"), lit(r.path).as("path"),
-            concat(lit(if (r.message.nonEmpty) r.message
-                       else s"duplicate value for unique(${r.path}): n="),
-              col("n").cast("string")).as("message"),
-            lit(r.severity).as("severity"))
+        Uniqueness.violationsFromKeyed(keyed, r, cfg)
       }
       val violationsOut = (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
 
@@ -354,6 +343,13 @@ object ValidationEngine {
         spark.read.parquet(s"$sinkDir/verdicts"), profiles)
     } finally {
       if (cfg.stage == "memory") projection.unpersist()
+      else if (!spark.conf.getOption("spark.graft.keepStage").contains("true")) {
+        // every output is written; drop the intermediate materialization
+        // (at 100 TB the stage is ~1% of the input but still real storage)
+        val p = new org.apache.hadoop.fs.Path(s"$sinkDir/_stage")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     }
   }
 
