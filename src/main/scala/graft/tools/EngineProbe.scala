@@ -6,19 +6,29 @@ import graft.engine._
 import graft.fixtures.PagesRules
 import graft.rules.Unique
 
-/** Phase-level timing probe for the validation engine (dev tool).
-  * Reads the ScalingBench-generated parquet input.
+/** Phase-level timing/cpu probe for the validation engine (dev tool).
+  * Reads the ScalingBench-generated parquet input; master comes from
+  * spark-submit, so the same probe runs at local[1] vs local[4] to locate
+  * which phase's cpu/row inflates with parallelism.
   */
 object EngineProbe {
   def main(args: Array[String]): Unit = {
     val input = if (args.nonEmpty) args(0)
       else "/tmp/graft_bench_pages_2000000_w0_seed42" // ScalingBench template
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder()
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
+      })
     val pages = spark.read.parquet(input)
+    val nRows = pages.count()
     val hosts = spark.read.parquet("/tmp/graft_bench_hosts_seed42")
     val cfg = EngineConfig("url", "date_format(warc_ts, 'yyyy-MM-dd')",
       saltExpr = "warc_ts", uniquenessSalts = 64,
@@ -27,8 +37,13 @@ object EngineProbe {
       quantilesFor = Seq("text_len"))
 
     def time[T](tag: String)(f: => T): T = {
+      Thread.sleep(300); cpuNanos.set(0L)
       val t0 = System.nanoTime(); val r = f
-      println(f"[engine] $tag%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val cpu = cpuNanos.get() / 1e9
+      println(f"[engine] $tag%-32s wall=$wall%7.2fs cpu=$cpu%7.2fs cpu/row=${cpu * 1e6 / nRows}%6.2fus")
+      r
     }
 
     time("scan only (count)")(pages.count())
@@ -48,7 +63,7 @@ object EngineProbe {
     time("histogram only")(
       StatsPass.histogram(pages, cfg, "length(text)", 25.0).count())
     val sink = "/tmp/engine_probe_sink"
-    time("runToSink (all, single decode)")(
+    time("runToSink (staged, all phases)")(
       ValidationEngine.runToSink(pages, PagesRules.catalog,
         Map("hosts" -> hosts), cfg, sink))
     spark.stop()
