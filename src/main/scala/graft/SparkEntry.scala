@@ -483,6 +483,19 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF ANN (the inverted-file scale path next to SRP-LSH): deterministic
+    // k-means cells, nProbe=2 of 8 — honest approximate search, recall
+    // pinned vs brute force in SimilaritySpec (probe-all == brute exactly)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.sim.Similarity.ivfTopK(emb, queries,
+        "vec_id", "embedding", "q_id", "q_vec", k = 10,
+        nLists = 8, nProbe = 2, iters = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     // text-quality profile: langId, quality score, token counts — all four
     // measures oracle-checked against a DuckDB re-derivation (regex counts
     // + the same fixed-order double arithmetic). The xxhash64 fingerprint

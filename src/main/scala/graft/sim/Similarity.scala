@@ -92,6 +92,106 @@ object Similarity {
       .select("q_id", "id", "score", "rank")
   }
 
+  // --- IVF (inverted-file) ANN -----------------------------------------
+
+  /** Deterministic k-means coarse quantizer for IVF: Lloyd iterations as
+    * DataFrame aggregations. Init = the `nLists` vectors with the smallest
+    * xxhash64(id) (hash-ordered, no RNG — identical across runs and
+    * parallelism). Each iteration: assign every vector to its nearest
+    * centroid via [[nearestCellsExpr]] (pure map-side expression — the
+    * centroids are literals, the classic broadcast-the-model shape),
+    * recompute centroids as the per-cell elementwise mean (posexplode →
+    * groupBy(cell, dim) avg — the shuffle carries k×dim partials only).
+    * Returns the centroids, driver-side (k×dim doubles — tiny by design).
+    *
+    * Scale: training touches the corpus `iters + 1` times but shuffles only
+    * k×dim aggregates; at 10^12 rows you'd train on a hash-sampled subset —
+    * pass `corpus.where(pmod(xxhash64(col(id)), 1000) === 0)`.
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iters: Int = 3): Array[Array[Double]] = {
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    var centroids: Array[Array[Double]] = base
+      .withColumn("_h", xxhash64(col("id")))
+      .orderBy(col("_h"), col("id")).limit(nLists)
+      .select("vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var i = 0
+    while (i < iters) {
+      val means = withNearestCells(base, col("vec"), centroids, 1, "_cells")
+        .select(col("_cells").getItem(0).as("cell"),
+          posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      // empty cells keep their previous centroid (standard Lloyd handling)
+      val next = centroids.map(_.clone())
+      means.foreach { case (c, d, m) => next(c)(d) = m }
+      centroids = next
+      i += 1
+    }
+    centroids
+  }
+
+  /** Adds `out` = the `nProbe` nearest cells (by cosine, ties → lowest
+    * cell id), computed over centroid LITERALS — assignment is map-side
+    * only, no join, no shuffle; exactly how a trained coarse quantizer
+    * ships to 1000 executors (in the task closure, not as a joined table).
+    * Two projections: the scored struct array must cross a select boundary
+    * so its field names are materialized in the schema before the sort
+    * lambda's getField resolves against them.
+    */
+  private def withNearestCells(df: DataFrame, vec: Column,
+      centroids: Array[Array[Double]], nProbe: Int, out: String): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, cell) =>
+      val cArr = array(c.map(lit): _*)
+      struct((-cosine(vec, cArr)).as("negscore"), lit(cell).as("cell"))
+    }
+    df.withColumn("_scored", array(scored: _*))
+      .withColumn(out,
+        transform(slice(array_sort(col("_scored")), 1, nProbe),
+          s => s.getField("cell")))
+      .drop("_scored")
+  }
+
+  /** IVF top-k: assign the corpus once (the "inverted file"), assign each
+    * query to its `nProbe` nearest cells, equi-join on cell, exact cosine
+    * inside the probed cells only, keep top-k. Approximate: recall < 1 when
+    * nProbe < nLists (measured vs brute force in SimilaritySpec); probing
+    * every cell degenerates to exact brute force — also pinned in tests.
+    *
+    * Scale: both assignments are map-side expressions; the only shuffle is
+    * the cell equi-join, hash-partitioned on `cell`; per-query work is
+    * corpus_size × nProbe / nLists instead of corpus_size.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfTrain(corpus, idCol, vecCol, nLists, iters)
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val inverted = withNearestCells(base, col("vec"), centroids, 1, "_cells")
+      .withColumn("cell", col("_cells").getItem(0)).drop("_cells")
+
+    val probes = withNearestCells(
+        queries.select(col(qIdCol).as("q_id"),
+          col(qVecCol).cast("array<double>").as("q_vec")),
+        col("q_vec"), centroids, nProbe, "_cells")
+      .select(col("q_id"), col("q_vec"),
+        explode(col("_cells")).as("cell"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    inverted.join(broadcast(probes), Seq("cell"))
+      .select(col("q_id"), col("id"),
+        cosine(col("vec"), col("q_vec")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "score", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup flavour): SRP buckets,
     * exact cosine within bucket, threshold.
     *

@@ -50,6 +50,35 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall lsh=$lsh")
   }
 
+  test("IVF: probing all cells equals brute force exactly; nProbe=1 keeps high recall on clusters") {
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      .select("q_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    // probe EVERY cell → candidate set is the whole corpus → exact
+    val all = Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5,
+      nLists = 4, nProbe = 4, iters = 2)
+      .select("q_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(all === brute)
+    // probe half the cells: the clusters are well separated, so k-means
+    // finds them and recall stays high (4 cells over 3 clusters means one
+    // cluster straddles two cells — probe 2)
+    val one = Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5,
+      nLists = 4, nProbe = 2, iters = 2)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (bruteIds & one).size.toDouble / bruteIds.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("IVF training is deterministic across partitioning") {
+    val c1 = Similarity.ivfTrain(corpus, "vec_id", "embedding", nLists = 4, iters = 2)
+    val c2 = Similarity.ivfTrain(corpus.repartition(7), "vec_id", "embedding",
+      nLists = 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+
   test("cosine near-dups: same-cluster pairs only, above threshold") {
     val small = (0 until 12).map(i => (i.toLong, vec(i % 3, i)))
       .toDF("vec_id", "embedding")
