@@ -41,6 +41,64 @@ object StreamingValidation {
       }
   }
 
+  /** One FSM transition event (the StateLog row shape, streamed). */
+  final case class TransitionEvent(entity: String, entityId: Long,
+      ts: java.sql.Timestamp, sourceState: String, state: String)
+
+  /** Per-entity FSM state kept in the state store. */
+  final case class FsmGroupState(current: String, lastTs: java.sql.Timestamp)
+
+  final case class FsmStreamViolation(key: String, ruleId: String,
+      message: String, ts: java.sql.Timestamp)
+
+  /** R12 as a STATEFUL stream (`flatMapGroupsWithState`): the state store
+    * carries each entity's current FSM state, so — unlike the windowed
+    * batch check, which can only judge the edge an event CLAIMS — this
+    * validates each arriving transition against the state the entity is
+    * actually in (django-fsm's source-state check,
+    * `cerberus/models/booking.py:434-437`: a transition is legal iff the
+    * row's current state is in the decorator's source set). Two rule
+    * species per event: `fsm_source_mismatch` (the event claims a source
+    * that is not the stored current state — an audit gap or forged edge)
+    * and `fsm_legal` (the edge is not in the transition matrix). State
+    * advances to the event's target either way, mirroring the audit log.
+    *
+    * Scale: state is one (string, timestamp) per live entity, partitioned
+    * by the group key across executors — the state-store shape Structured
+    * Streaming is built for. Events within a micro-batch are applied in
+    * event-time order (deterministic replay).
+    */
+  def fsmLegalityStream(events: org.apache.spark.sql.Dataset[TransitionEvent],
+      legal: Set[(String, String)], initialState: String)
+      : org.apache.spark.sql.Dataset[FsmStreamViolation] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.entity, e.entityId))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), it: Iterator[TransitionEvent],
+         gs: GroupState[FsmGroupState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.state))
+          var cur = gs.getOption.map(_.current).getOrElse(initialState)
+          var lastTs = gs.getOption.map(_.lastTs).orNull
+          val out = Seq.newBuilder[FsmStreamViolation]
+          sorted.foreach { e =>
+            val k = s"${key._1}:${key._2}"
+            if (e.sourceState != cur)
+              out += FsmStreamViolation(k, "fsm_source_mismatch",
+                s"event claims source ${e.sourceState} but entity is in $cur", e.ts)
+            if (!legal.contains((e.sourceState, e.state)))
+              out += FsmStreamViolation(k, "fsm_legal",
+                s"illegal transition ${e.sourceState} -> ${e.state}", e.ts)
+            cur = e.state
+            lastTs = e.ts
+          }
+          if (sorted.nonEmpty) gs.update(FsmGroupState(cur, lastTs))
+          out.result().iterator
+        })
+  }
+
   /** Watermarked windowed violation counts — the streaming verdict feed:
     * (window, rule_id) → violations, emitted once the watermark passes.
     * Late events beyond `lateness` are dropped, matching the batch job's

@@ -51,6 +51,39 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(sink).select("batch_id").distinct().count() >= 1)
   }
 
+  test("stateful FSM stream: state store catches cross-batch source mismatches") {
+    import graft.streaming.StreamingValidation.{TransitionEvent, FsmStreamViolation}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TransitionEvent]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2017-05-21 10:$m%02d:00")
+    val vios = StreamingValidation.fsmLegalityStream(
+      stream.toDS(), graft.crm.CrmCatalog.BookingTransitions, "preliminary")
+    val q = vios.writeStream.outputMode("append")
+      .format("memory").queryName("fsm_stream").start()
+
+    // batch 1: booking 1 goes preliminary→confirmed (legal);
+    //          booking 2 claims enquiry→canceled but starts preliminary
+    stream.addData(Seq(
+      TransitionEvent("booking", 1L, ts(1), "preliminary", "confirmed"),
+      TransitionEvent("booking", 2L, ts(2), "enquiry", "canceled")))
+    q.processAllAvailable()
+    // batch 2 (state crosses the batch boundary):
+    //   booking 1 confirmed→completed (legal edge, matching stored state);
+    //   booking 1 then completed→confirmed (illegal edge);
+    //   booking 2 canceled→enquiry (legal, stored state advanced to canceled)
+    stream.addData(Seq(
+      TransitionEvent("booking", 1L, ts(10), "confirmed", "completed"),
+      TransitionEvent("booking", 1L, ts(11), "completed", "confirmed"),
+      TransitionEvent("booking", 2L, ts(12), "canceled", "enquiry")))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT key, ruleId FROM fsm_stream")
+      .as[(String, String)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      ("booking:2", "fsm_source_mismatch"), // claimed enquiry, was preliminary
+      ("booking:1", "fsm_legal")))          // completed -> confirmed not in matrix
+  }
+
   test("watermarked windowed violation counts run and aggregate") {
     // events-shaped stream with a planted bad enum value
     implicit val sqlCtx = spark.sqlContext
