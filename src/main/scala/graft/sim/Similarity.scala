@@ -145,7 +145,9 @@ object Similarity {
   private def withNearestCells(df: DataFrame, vec: Column,
       centroids: Array[Array[Double]], nProbe: Int, out: String): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, cell) =>
-      val cArr = array(c.map(lit): _*)
+      // ONE ArrayType literal per centroid (not dim CreateArray children):
+      // k x dim scalar literals made plan codegen the dominant cost
+      val cArr = typedLit(c.toSeq)
       struct((-cosine(vec, cArr)).as("negscore"), lit(cell).as("cell"))
     }
     df.withColumn("_scored", array(scored: _*))
