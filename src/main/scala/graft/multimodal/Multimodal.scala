@@ -87,6 +87,44 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class ResizedMedia(id: Long, kind: String, ok: Boolean,
+      width: Int, height: Int, bytes: Array[Byte])
+
+  /** Resize plan + stub execution for image rows: the REAL part is the
+    * target-geometry computation (aspect-preserving fit into
+    * `maxSide`×`maxSide`, never upscale — pure integer arithmetic, checked
+    * in tests) and the batched per-partition pass; the byte transform is
+    * the stubbed codec boundary (here: truncate payload proportionally to
+    * the area ratio so size relationships are testable), replaced by a
+    * real image library in production with the same signature.
+    */
+  def resizeImages(media: DataFrame, maxSide: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed = media.where(col("kind") === "image").select(
+        col("id"), col("kind"), col("bytes"),
+        coalesce(col("meta.width"), lit(0)).as("width"),
+        coalesce(col("meta.height"), lit(0)).as("height"))
+      .as[MediaRow]
+    typed.mapPartitions { it =>
+      it.map { r =>
+        val scale =
+          if (r.width <= 0 || r.height <= 0) 0.0
+          else math.min(1.0, maxSide.toDouble / math.max(r.width, r.height))
+        if (scale == 0.0 || r.bytes == null)
+          ResizedMedia(r.id, r.kind, ok = false, 0, 0, Array.empty[Byte])
+        else {
+          // never upscale; round half-up like typical image pipelines
+          val w = math.max(1, math.round(r.width * scale).toInt)
+          val h = math.max(1, math.round(r.height * scale).toInt)
+          val keep = math.max(1,
+            math.min(r.bytes.length, (r.bytes.length * scale * scale).toInt))
+          ResizedMedia(r.id, r.kind, ok = true, w, h, r.bytes.take(keep))
+        }
+      }
+    }.toDF()
+  }
+
   /** Frame-sampling plan for video rows (pure expressions): sample one
     * frame every `everyMs` ms of duration — emits (id, frame_no, ts_ms)
     * rows, the unit a real decoder would be applied to.

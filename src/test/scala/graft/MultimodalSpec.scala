@@ -36,6 +36,35 @@ class MultimodalSpec extends SparkSuite {
     assert(fDup === m1(orig))
   }
 
+  test("resize: aspect-preserving fit, never upscales, deterministic") {
+    val r = Multimodal.resizeImages(media, maxSide = 256)
+    val rows = r.select("id", "ok", "width", "height")
+      .as[(Long, Boolean, Int, Int)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2))
+    val origins = media.where($"kind" === "image")
+      .select($"id", $"meta.width", $"meta.height")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    rows.foreach { case (id, _, w, h) =>
+      val (ow, oh) = origins(id)
+      assert(w <= 256 && h <= 256, s"$id not fitted: ${w}x$h")
+      assert(w <= ow && h <= oh, s"$id upscaled: ${ow}x$oh -> ${w}x$h")
+      // aspect preserved to rounding: long side hits 256 unless no downscale
+      if (math.max(ow, oh) > 256)
+        assert(math.max(w, h) === 256, s"$id long side ${math.max(w, h)}")
+      else assert((w, h) === ((ow, oh)), s"$id resized needlessly")
+      // aspect preserved to rounding: each side within 1px of ideal scale
+      // (1px covers the clamp-to-1 case for extreme ratios)
+      val scale = math.min(1.0, 256.0 / math.max(ow, oh))
+      assert(math.abs(w - ow * scale) <= 1.0, s"$id w=$w ideal=${ow * scale}")
+      assert(math.abs(h - oh * scale) <= 1.0, s"$id h=$h ideal=${oh * scale}")
+    }
+    // deterministic across partitioning
+    val b1 = r.select("id", "width", "height").as[(Long, Int, Int)].collect().toSet
+    val b2 = Multimodal.resizeImages(media.repartition(7), maxSide = 256)
+      .select("id", "width", "height").as[(Long, Int, Int)].collect().toSet
+    assert(b1 === b2)
+  }
+
   test("video frame sampling emits one frame per interval") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
     val check = media.where($"kind" === "video")
