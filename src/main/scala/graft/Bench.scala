@@ -24,22 +24,24 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var rows = -1L
-      var failed = false
-      var r = 0
-      while (r < reps && !failed) {
+      var failures = 0
+      for (_ <- 0 until reps) {
         val t0 = System.nanoTime()
-        try rows = fn(spark, sfDir).count()
-        catch { case e: Throwable =>
+        try {
+          rows = fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt < best) best = dt
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           e.printStackTrace()
-          failed = true
+          failures += 1
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (!failed && dt < best) best = dt
-        r += 1
       }
-      val score = if (failed) -1.0 else best
-      System.err.println(f"[bench] $name%-28s $score%8.2fs rows=$rows (best of $reps)")
+      // a transient rep failure must not discard a valid measurement;
+      // -1 only when NO rep succeeded
+      val score = if (best == Double.MaxValue) -1.0 else best
+      System.err.println(
+        f"[bench] $name%-28s $score%8.2fs rows=$rows (best of $reps, $failures failed)")
       name -> score
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -58,22 +58,12 @@ object ScalingBench {
     val parallelism = spark.sparkContext.defaultParallelism
 
     // task-metric accumulation: executor CPU time is the hypervisor-noise-
-    // free scaling signal — constant cpu-time/row across parallelism levels
-    // means the engine adds no coordination overhead as it widens
-    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    val runMillis = new java.util.concurrent.atomic.AtomicLong(0L)
-    val gcMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+    // reduced scaling signal — constant cpu-time/row across parallelism
+    // levels means the engine adds no coordination overhead as it widens
+    val metrics = new graft.tools.CpuMetrics(spark.sparkContext)
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (e.taskMetrics != null) {
-            cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
-            runMillis.addAndGet(e.taskMetrics.executorRunTime)
-            gcMillis.addAndGet(e.taskMetrics.jvmGCTime)
-          }
-        }
         private val jobNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
         override def onJobStart(
             e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -114,7 +104,7 @@ object ScalingBench {
 
     // ---- timed: the full validation job, ONE decode of the source
     val sink = s"/tmp/graft_bench_out_$parallelism"
-    cpuNanos.set(0L); runMillis.set(0L); gcMillis.set(0L) // exclude setup CPU
+    metrics.reset() // exclude setup/generation CPU
     val t0 = System.nanoTime()
     ValidationEngine.runToSink(pages, PagesRules.catalog,
       dims = Map("hosts" -> hosts), cfg = cfg, sinkDir = sink)
@@ -122,18 +112,17 @@ object ScalingBench {
       spark.read.parquet(s"$sink/hist_text_len")
         .where(col("part").startsWith("2024")), "text_len")
     val elapsed = (System.nanoTime() - t0) / 1e9
-    // listener events drain asynchronously; give the bus a moment
-    Thread.sleep(1500)
+    metrics.settle(1500) // listener events drain asynchronously
 
     val nViolations = spark.read.parquet(s"$sink/violations").count()
     val nVerdicts = spark.read.parquet(s"$sink/verdicts").count()
     val rate = nRows / elapsed
-    val cpuSec = cpuNanos.get() / 1e9
+    val cpuSec = metrics.cpuSec
     val json =
       s"""{"master":"$master","parallelism":$parallelism,"rows":$nRows,"pad_to":$padTo,"stage":"$stage","batch_rows":$batchRows,""" +
       s""""elapsed_sec":$elapsed,"rows_per_sec":$rate,""" +
       s""""cpu_sec":$cpuSec,"cpu_us_per_row":${cpuSec * 1e6 / nRows},""" +
-      s""""executor_run_sec":${runMillis.get() / 1e3},"gc_sec":${gcMillis.get() / 1e3},""" +
+      s""""executor_run_sec":${metrics.runSec},"gc_sec":${metrics.gcSec},""" +
       s""""violations":$nViolations,"verdicts":$nVerdicts,""" +
       s""""drift_reports":${drift.size},"seed":42}"""
     println(json)

@@ -59,9 +59,11 @@ object Audit {
     *
     * Uniqueness rules are GLOBAL (cross-partition): a key duplicated across
     * an already-validated partition and a newly-arrived one must still flag,
-    * so the uniqueness pass always scans the FULL table — a keys-only,
-    * column-pruned scan (the unique-key columns + salt source), never the
-    * document bodies. Row/referential/stats passes stay pending-only.
+    * so the uniqueness pass scans the FULL table — keys-only, column-pruned
+    * passes over the unique-key columns + salt source, never the document
+    * bodies. Row/referential/stats passes stay pending-only, and the global
+    * verdict's checked count is reconstructed from the audit's own
+    * per-partition history plus this run's profiles — no extra count scan.
     */
   def runIncremental(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
@@ -91,7 +93,24 @@ object Audit {
       val checked = profiles.groupBy(col("part"))
         .agg(max(col("rowCount")).as("checked"))
       val globalChecked =
-        if (uniqueRules.isEmpty) None else Some(df.count())
+        if (uniqueRules.isEmpty) None
+        else {
+          // rows already validated, from the (tiny) audit verdicts: one
+          // checked figure per data partition (identical across that
+          // part's rule rows — take max), plus this run's pending rows
+          val doneRows =
+            if (done.isEmpty) 0L // first run: the audit is schemaless-empty
+            else {
+              val r = audit.verdicts()
+                .where(col("part") =!= ValidationEngine.GlobalPart)
+                .groupBy(col("part")).agg(max(col("checked")).as("c"))
+                .agg(sum(col("c"))).collect().head
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            }
+          val pendingRows = checked.agg(sum(col("checked"))).collect().head
+          Some(doneRows +
+            (if (pendingRows.isNullAt(0)) 0L else pendingRows.getLong(0)))
+        }
       val verdicts = ValidationEngine.assembleVerdicts(
         spark, rules, violations, checked, globalChecked)
       val res = ValidationResult(violations, verdicts, profiles)

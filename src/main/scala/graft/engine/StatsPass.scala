@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * row count, null count/rate, approx distinct (HyperLogLog++ via
   * `approx_count_distinct`), min/max — and, for the columns named in
   * `EngineConfig.quantilesFor`, approximate quantiles (the KLL role from
-  * the north_star → built-in `percentile_approx`, whose sketch is
-  * mergeable across partial aggregation, so partial/final agg order never
-  * changes the result).
+  * the north_star → built-in `percentile_approx`, whose sketch merges
+  * across partial aggregation; like any Greenwald-Khanna-style summary the
+  * merged result is exact only within the sketch's error bound — different
+  * partition cuts may shift a quantile within that bound).
   *
   * Scale: partial aggregation (map-side combine) means the shuffle carries
   * only (numPartitions × numColumns) sketch buffers, not rows. The result

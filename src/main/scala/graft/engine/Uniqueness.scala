@@ -48,11 +48,14 @@ object Uniqueness {
     * at Common-Crawl url lengths that is ~8x fewer shuffle bytes. Because
     * a 64-bit hash CAN collide (the birthday bound bites at billions of
     * keys), hash-duplicates are only CANDIDATES: an exact verify pass
-    * joins the (tiny, broadcast) duplicate-hash set back and re-counts by
-    * the real key value, so the emitted violations are exact. The verify
-    * pass touches only candidate rows; in the worst case (everything
-    * duplicated) it degrades to the plain string-key aggregation, never
-    * below it.
+    * joins the (tiny) duplicate-hash set back and re-counts by the real
+    * key value — itself salted two-phase, so a hot duplicated key stays
+    * split in the verify aggregation too. The verify pass touches only
+    * candidate rows in the expected case; in a pathological all-duplicates
+    * input the candidate join falls back from BHJ to a shuffle join whose
+    * join-key partitioning concentrates a hot key on one task — AQE's
+    * skew-join splitting is the mitigation there (on by default in every
+    * engine entry point; keep it on).
     */
   def duplicateKeyViolations(df: DataFrame, rule: Unique,
       cfg: EngineConfig): DataFrame = {
@@ -84,11 +87,15 @@ object Uniqueness {
     // exact verify: candidate rows only (hash collisions re-split here).
     // No broadcast hint: the dup-hash set is tiny in the expected case and
     // AQE picks BHJ from its ACTUAL size; a pathological all-dups input
-    // falls back to a shuffle join instead of OOMing the driver.
+    // falls back to a shuffle join instead of OOMing the driver. The
+    // re-count is salted two-phase like phase 1, so the hot key the salt
+    // exists for stays split here too.
     keyed
       .join(dupHashes, xxhash64(col("_ukey")) === col("_kh"))
+      .groupBy(col("_ukey"), col("_salt"))
+      .agg(count(lit(1)).as("_vn"))
       .groupBy(col("_ukey"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("_vn")).as("n"))
       .where(col("n") > 1)
       .select(
         col("_ukey").as("key"),

@@ -315,6 +315,7 @@ object ValidationEngine {
       // busy instead of draining per-phase.
       import scala.concurrent.{Await, Future, ExecutionContext}
       import scala.concurrent.duration.Duration
+      import scala.util.Try
       implicit val ec: ExecutionContext = phaseEc
       val phases = Seq(
         Future(violationsOut
@@ -329,7 +330,12 @@ object ValidationEngine {
             .agg(count(lit(1)).as("n"))
             .write.mode("overwrite").parquet(s"$sinkDir/hist_$n")
         }}
-      Await.result(Future.sequence(phases), Duration.Inf)
+      // wait for EVERY phase before surfacing a failure — a fail-fast
+      // rethrow would reach the finally-block stage cleanup while sibling
+      // jobs are still scanning the stage (and race a caller's retry)
+      val results = Await.result(
+        Future.sequence(phases.map(f => f.transform(Try(_)))), Duration.Inf)
+      results.collectFirst { case scala.util.Failure(e) => throw e }
 
       // 4. verdicts from the written (tiny) outputs
       val violations = spark.read.parquet(s"$sinkDir/violations")

@@ -45,12 +45,16 @@ object PagesTable {
     * here the natural key is `url` and the use case is a daily re-crawl
     * re-ingesting a day).
     *
-    * Parquet stand-in for Iceberg MERGE: within each day partition the
-    * updates touch, keep ONE row per key — an update beats the existing
-    * row, newest `versionCol` wins among updates, and the whole merge
-    * rewrites ONLY the touched partitions (dynamic partition overwrite).
-    * At 100 TB: untouched days are never read or written; the per-day
-    * merge shuffles one day's keys, not the table.
+    * Parquet stand-in for Iceberg MERGE: ONE row per key survives GLOBALLY
+    * — an update beats the existing row, newest `versionCol` wins among
+    * updates — and the merge rewrites only the partitions that can change:
+    * the arriving day(s) plus any day holding a PREVIOUS version of an
+    * arriving key (found by a keys-only, column-pruned semi-join against
+    * the table — a re-crawl usually moves a url to a new day, and without
+    * this the old day would keep a stale duplicate). Days emptied by the
+    * merge have their files removed (dynamic overwrite cannot write an
+    * empty partition). At 100 TB: untouched days are never rewritten, and
+    * the only full-table read is the pruned key+day projection.
     *
     * Idempotent: upserting the same batch twice leaves the table
     * byte-identical (deterministic tie-breaks, no RNG).
@@ -63,11 +67,19 @@ object PagesTable {
       .withColumn(PartitionCol, date_format(col("warc_ts"), "yyyy-MM-dd"))
       .withColumn("_src", lit(1))
     val exists = new java.io.File(dir).exists()
-    val merged = if (!exists) updatesP else {
-      val days = updatesP.select(PartitionCol).distinct()
+    val (merged, mergeDays) = if (!exists) (updatesP, Seq.empty[String]) else {
+      val arriving = updatesP.select(PartitionCol).distinct()
         .collect().map(_.getString(0)).toSeq // tiny: the arriving day(s)
-      val existing = readDays(spark, dir, days).withColumn("_src", lit(0))
-      existing.unionByName(updatesP)
+      val updKeys = updatesP.select(keyCols.map(col): _*).distinct()
+      val staleDays = read(spark, dir)
+        .select((PartitionCol +: keyCols).map(col): _*)
+        .join(updKeys, keyCols, "left_semi")
+        // partition inference types p_date as DATE on read — normalize
+        .select(col(PartitionCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val days = (arriving ++ staleDays).distinct
+      (readDays(spark, dir, days).withColumn("_src", lit(0))
+        .unionByName(updatesP), days)
     }
     // NULL keys never match in MERGE (SQL semantics; the Required rule owns
     // them) — they pass through untouched instead of collapsing into one
@@ -78,23 +90,33 @@ object PagesTable {
       .filterNot(Set(PartitionCol, "_src"))
       .map(c => col(c).cast("string")): _*)
     val w = Window
-      .partitionBy((PartitionCol +: keyCols).map(col): _*)
+      .partitionBy(keyCols.map(col): _*) // GLOBAL latest per key, not per day
       .orderBy(col("_src").desc, col(versionCol).desc, rowHash.asc)
     val deduped = merged.where(keyedCond)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_src")
       .unionByName(merged.where(!keyedCond).drop("_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // dynamic overwrite: only partitions present in `deduped` are replaced
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
+      val keptDays = deduped.select(col(PartitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
       deduped
         .repartition(col(PartitionCol))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(PartitionCol)
         .parquet(dir)
+      // a day whose every row was a stale version of an arriving key ends
+      // up empty — dynamic overwrite leaves its old files; drop them
+      mergeDays.filterNot(keptDays).foreach { day =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$PartitionCol=$day")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     } finally {
+      deduped.unpersist()
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

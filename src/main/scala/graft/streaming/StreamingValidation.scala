@@ -62,6 +62,11 @@ object StreamingValidation {
     * that is not the stored current state — an audit gap or forged edge)
     * and `fsm_legal` (the edge is not in the transition matrix). State
     * advances to the event's target either way, mirroring the audit log.
+    * A LATE event (event time behind the stored state's timestamp — it
+    * arrived in a later micro-batch than a newer event) cannot be judged
+    * against the current state and must not rewind it: it gets a
+    * warn-severity `fsm_late_event` plus the stateless matrix check, and
+    * the stored state is left untouched.
     *
     * Scale: state is one (string, timestamp) per live entity, partitioned
     * by the group key across executors — the state-store shape Structured
@@ -85,16 +90,22 @@ object StreamingValidation {
           val out = Seq.newBuilder[FsmStreamViolation]
           sorted.foreach { e =>
             val k = s"${key._1}:${key._2}"
-            if (e.sourceState != cur)
+            val late = lastTs != null && e.ts.getTime < lastTs.getTime
+            if (late)
+              out += FsmStreamViolation(k, "fsm_late_event",
+                s"event at ${e.ts} arrived after state advanced at $lastTs", e.ts)
+            else if (e.sourceState != cur)
               out += FsmStreamViolation(k, "fsm_source_mismatch",
                 s"event claims source ${e.sourceState} but entity is in $cur", e.ts)
             if (!legal.contains((e.sourceState, e.state)))
               out += FsmStreamViolation(k, "fsm_legal",
                 s"illegal transition ${e.sourceState} -> ${e.state}", e.ts)
-            cur = e.state
-            lastTs = e.ts
+            if (!late) { // never rewind the stored state behind newer events
+              cur = e.state
+              lastTs = e.ts
+            }
           }
-          if (sorted.nonEmpty) gs.update(FsmGroupState(cur, lastTs))
+          if (lastTs != null) gs.update(FsmGroupState(cur, lastTs))
           out.result().iterator
         })
   }

@@ -1,0 +1,34 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Shared task-metric accumulator for the bench/probe tools: executor CPU
+  * time is the hypervisor-noise-reduced work signal, run time and GC time
+  * contextualize it. Listener events drain asynchronously — call
+  * [[settle]] before reading after an action completes.
+  */
+final class CpuMetrics(sc: SparkContext) {
+  val cpuNanos = new AtomicLong(0L)
+  val runMillis = new AtomicLong(0L)
+  val gcMillis = new AtomicLong(0L)
+
+  sc.addSparkListener(new SparkListener {
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      if (e.taskMetrics != null) {
+        cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
+        runMillis.addAndGet(e.taskMetrics.executorRunTime)
+        gcMillis.addAndGet(e.taskMetrics.jvmGCTime)
+      }
+  })
+
+  def reset(): Unit = { cpuNanos.set(0L); runMillis.set(0L); gcMillis.set(0L) }
+
+  /** Give the async listener bus a moment to deliver trailing task events. */
+  def settle(ms: Long = 1000L): Unit = Thread.sleep(ms)
+
+  def cpuSec: Double = cpuNanos.get() / 1e9
+  def runSec: Double = runMillis.get() / 1e3
+  def gcSec: Double = gcMillis.get() / 1e3
+}

@@ -19,21 +19,15 @@ object DecodeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null) cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
-      })
+    val metrics = new CpuMetrics(spark.sparkContext)
     val df = spark.read.parquet(input)
     val t0 = System.nanoTime()
     val Array(rows, bytes) = df.select(count(lit(1)),
       sum(length(col("url")) + length(col("text")) + octet_length(col("html"))))
       .collect().head.toSeq.map(_.toString.toLong).toArray
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(1000)
-    val cpu = cpuNanos.get() / 1e9
+    metrics.settle()
+    val cpu = metrics.cpuSec
     println(s"""{"probe":"decode","master":"${spark.sparkContext.master}","rows":$rows,""" +
       s""""bytes":$bytes,"wall_sec":$wall,"cpu_sec":$cpu,""" +
       s""""cpu_us_per_row":${cpu * 1e6 / rows}}""")

@@ -20,13 +20,7 @@ object EngineProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null) cpuNanos.addAndGet(e.taskMetrics.executorCpuTime)
-      })
+    val metrics = new CpuMetrics(spark.sparkContext)
     val pages = spark.read.parquet(input)
     val nRows = pages.count()
     val hosts = spark.read.parquet("/tmp/graft_bench_hosts_seed42")
@@ -37,11 +31,11 @@ object EngineProbe {
       quantilesFor = Seq("text_len"))
 
     def time[T](tag: String)(f: => T): T = {
-      Thread.sleep(300); cpuNanos.set(0L)
+      metrics.settle(300); metrics.reset()
       val t0 = System.nanoTime(); val r = f
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
-      val cpu = cpuNanos.get() / 1e9
+      metrics.settle(500)
+      val cpu = metrics.cpuSec
       println(f"[engine] $tag%-32s wall=$wall%7.2fs cpu=$cpu%7.2fs cpu/row=${cpu * 1e6 / nRows}%6.2fus")
       r
     }

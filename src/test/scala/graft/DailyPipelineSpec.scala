@@ -96,5 +96,21 @@ class DailyPipelineSpec extends SparkSuite {
         pages, after, "url", "text")
       .where($"severity" === "error").select("key").as[String].collect().toSet
     assert(flagged === changedUrls)
+
+    // CROSS-DAY re-crawl: the same urls arrive with a NEW crawl timestamp
+    // on a different day — MERGE is keyed on url, so the old day's stale
+    // rows must disappear (no cross-day duplicates) and, if emptied, the
+    // old partition's files must be gone
+    val moved = dayOf(days(0))
+      .withColumn("warc_ts", $"warc_ts" + expr("INTERVAL 10 DAYS"))
+    PagesTable.upsert(spark, dir, moved)
+    val t3 = PagesTable.read(spark, dir)
+    assert(t3.count() === s1.size) // still one row per url
+    val dups = t3.groupBy("url").count().where($"count" > 1).count()
+    assert(dups === 0L, "cross-day upsert left duplicate urls")
+    // old day emptied -> partition dir dropped
+    val remainingDays = t3.select(PagesTable.PartitionCol).distinct()
+      .as[String].collect().toSet
+    assert(!remainingDays.contains(days(0)), remainingDays.toString)
   }
 }

@@ -76,12 +76,23 @@ class StreamingSpec extends SparkSuite {
       TransitionEvent("booking", 1L, ts(11), "completed", "confirmed"),
       TransitionEvent("booking", 2L, ts(12), "canceled", "enquiry")))
     q.processAllAvailable()
+    // batch 3: a LATE event for booking 1 (ts before the stored lastTs) —
+    // flagged as late, judged only against the matrix, state NOT rewound
+    stream.addData(Seq(
+      TransitionEvent("booking", 1L, ts(5), "enquiry", "preliminary")))
+    q.processAllAvailable()
+    // batch 4: proves the state was not rewound by the late event —
+    // confirmed (current after ts(11)) -> canceled is legal and silent
+    stream.addData(Seq(
+      TransitionEvent("booking", 1L, ts(20), "confirmed", "canceled")))
+    q.processAllAvailable()
     val got = spark.sql("SELECT key, ruleId FROM fsm_stream")
       .as[(String, String)].collect().toSet
     q.stop()
     assert(got === Set(
       ("booking:2", "fsm_source_mismatch"), // claimed enquiry, was preliminary
-      ("booking:1", "fsm_legal")))          // completed -> confirmed not in matrix
+      ("booking:1", "fsm_legal"),           // completed -> confirmed not in matrix
+      ("booking:1", "fsm_late_event")))     // ts(5) after state advanced to ts(11)
   }
 
   test("watermarked windowed violation counts run and aggregate") {

@@ -37,8 +37,14 @@ run() { # $1=threads $2=rows $3=pad $4=out
 }
 
 decode() { # $1=threads $2=input $3=out
+  # the control must read under the SAME reader config the engine runs
+  # use (ScalingBench caps wide batches near 16 MB), or the floor includes
+  # a GC component the engine doesn't have
+  BATCH=4096
+  case "$2" in *_w0_*) BATCH=4096 ;; *) BATCH=508 ;; esac
   /opt/spark/bin/spark-submit --master "local[$1]" --driver-memory 20g \
     --conf spark.sql.files.maxPartitionBytes=16m \
+    --conf spark.sql.parquet.columnarReaderBatchSize=$BATCH \
     --class graft.tools.DecodeProbe "$JAR" "$2" 2>/dev/null | tail -1 > "$3"
   cat "$3"
 }
