@@ -483,6 +483,18 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // embedding-cosine near-duplicate pairs, EXACT configuration
+    // (planes=0 → one cell → all-pairs verify): the operator's ground-truth
+    // semantics, oracle-checked against DuckDB all-pairs cosine; the
+    // SRP-bucketed approximate path of the same operator is pinned against
+    // exact results in SimilaritySpec
+    "q_cosine_neardups" -> ((s, dir) => {
+      graft.sim.Similarity.cosineNearDups(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, planes = 0, tables = 1,
+        maxBucketSize = Int.MaxValue)
+        .orderBy("a_id", "b_id")
+    }),
+
     // IVF ANN (the inverted-file scale path next to SRP-LSH): deterministic
     // k-means cells, nProbe=2 of 8 — honest approximate search, recall
     // pinned vs brute force in SimilaritySpec (probe-all == brute exactly)
@@ -823,6 +835,18 @@ object SparkEntry {
            (SELECT count(*) FROM
              (SELECT url FROM p WHERE url IS NOT NULL
               GROUP BY url HAVING count(*) > 1)) = 0""",
+    "q_cosine_neardups" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v)) != 0
+           AND list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
     "q_text_quality" ->
       """WITH m AS (SELECT doc_id,
            len(regexp_extract_all(coalesce(text,''), '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|auf)\b')) AS h_de,
