@@ -50,6 +50,30 @@ class RunToSinkSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(sunk === direct)
 
+    // bitmask spans MULTIPLE words past 64 rules: plant one catalog of 70
+    // rules where exactly rules #3, #63, #64 and #69 fire on known rows —
+    // word-boundary bits (63, 64) are the off-by-one hot spots
+    val bigCatalog: Seq[graft.rules.ValidationRule] =
+      (0 until 70).map { i =>
+        val fires = Set(3, 63, 64, 69)
+        if (fires(i))
+          graft.rules.ExprRule(f"r$i%02d", "url",
+            s"NOT (url IS NOT NULL AND pmod(xxhash64(url), 10) = ${i % 10})")
+        else graft.rules.ExprRule(f"r$i%02d", "url", "true")
+      }
+    val sinkB = Files.createTempDirectory("sink_bits").toString
+    val big = ValidationEngine.runToSink(data.pages, bigCatalog,
+      Map.empty, cfg, sinkB)
+    val byRule = big.violations.groupBy("rule_id").count()
+      .as[(String, Long)].collect().toMap
+    assert(byRule.keySet === Set("r03", "r63", "r64", "r69"), byRule.keySet)
+    // counts must equal the direct predicate evaluation on the source
+    Seq(3, 63, 64, 69).foreach { i =>
+      val want = data.pages.where(
+        expr(s"url IS NOT NULL AND pmod(xxhash64(url), 10) = ${i % 10}")).count()
+      assert(byRule(f"r$i%02d") === want, s"rule r$i")
+    }
+
     // every stage strategy is output-identical (default above = "parquet")
     for (strategy <- Seq("multi-scan", "memory")) {
       val sinkN = Files.createTempDirectory(s"sink_$strategy").toString
