@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) as a pure expression (zip_with + aggregate — codegen'd). */
+  /** dot(a,b) — tight-loop custom expression, summing left-to-right
+    * (bit-identical to the `aggregate(zip_with(...))` fold it replaced;
+    * the HOF pair evaluates interpreted per element and dominated
+    * all-pairs verification cost).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.SketchExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
