@@ -400,10 +400,14 @@ object SparkEntry {
         .orderBy("rule_id")
     }),
 
-    // CRM replay: the reference error-fixture corpus as violation rows
+    // CRM replay: the reference error-fixture corpus as violation rows —
+    // ALL check families CrmReplaySpec replays (9 per-entity rule runs +
+    // every cross-row check incl. the W7 monitor-timestamp reconstruction),
+    // compared against the checked-in golden VALUES
     "q_crm_replay" -> ((s, dir) => {
       val t = graft.fixtures.CrmFixtures.build(s)
       import graft.crm.{CrmCatalog, CrmChecks}
+      import graft.fixtures.CrmFixtures.FrozenNowSql
       def run(df: DataFrame, rules: Seq[graft.rules.ValidationRule], e: String) =
         ValidationEngine.run(df, rules,
           Map("customers" -> t.customers, "services" -> t.services,
@@ -414,16 +418,26 @@ object SparkEntry {
         run(t.bookings, CrmCatalog.bookingRules, "booking"),
         run(t.bookingSlots, CrmCatalog.slotRules, "booking_slot"),
         run(t.customers, CrmCatalog.customerRules, "customer"),
+        run(t.contacts, CrmCatalog.contactRules, "contact"),
+        run(t.services, CrmCatalog.serviceRules, "service"),
         run(t.invoices, CrmCatalog.invoiceRules, "invoice"),
         run(t.charges, CrmCatalog.chargeRules, "charge"),
         run(t.payments, CrmCatalog.paymentRules, "payment"),
         run(t.pets, CrmCatalog.petRules, "pet"),
         CrmChecks.overlappingSlots(t.bookingSlots, t.bookings),
+        CrmChecks.multipleServicesPerSlot(t.bookings),
         CrmChecks.capacity(t.bookings, t.bookingPets, t.services),
         CrmChecks.fsmLegality(t.stateLog, "booking"),
+        CrmChecks.fsmLegality(t.stateLog, "invoice"),
+        CrmChecks.fsmLegality(t.stateLog, "charge"),
+        CrmChecks.completeRequiresPastEnd(t.bookings, FrozenNowSql),
         CrmChecks.invoiceSendGuard(t.invoices, t.customers),
         CrmChecks.accountingInvariants(t.invoices, t.charges, t.payments),
-        CrmChecks.petOwnership(t.bookings, t.bookingPets, t.pets)
+        CrmChecks.immutabilityDrift(t.invoices, t.invoicesAfter),
+        CrmChecks.petOwnership(t.bookings, t.bookingPets, t.pets),
+        CrmChecks.orphanSlots(t.bookingSlots, t.bookings),
+        CrmChecks.monitorConsistency(t.invoices, t.stateLog,
+          "invoice", "paid", "paid_on")
       ).reduce(_.unionByName(_)).orderBy("key", "rule_id", "message")
     }),
 
@@ -466,20 +480,22 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // LSH-bucketed ANN (scale path)
+    // LSH-bucketed ANN, PROVABLY-EXACT configuration (planes=0 → every row
+    // lands in the single bucket → the candidate set is the whole corpus,
+    // so the full LSH machinery — per-table bucketing, (table, bucket)
+    // equi-join, per-pair max, windowed top-k — executes and its output
+    // EQUALS brute force; the DuckDB brute-force SQL is therefore an exact
+    // oracle). Honest approximate configs (recall < 1) are pinned against
+    // brute force in SimilaritySpec instead: these testdata embeddings are
+    // near-random (top cosine ~0.37), the adversarial case for SRP, where
+    // any planes>0 config has data-dependent recall no oracle can fix.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      // bucket granularity sized to the corpus: 2^6 buckets over ~10^3
-      // vectors keeps per-bucket work tiny while recall stays high
-      // these embeddings are near-random (top cosine ~0.37), the hard case
-      // for SRP-LSH; 12 tables of 2^5 buckets probe ~40% of the corpus for
-      // ~2/3 recall — on clustered real embeddings recall >0.9 (see
-      // SimilaritySpec)
       graft.sim.Similarity.lshTopK(emb, queries,
         "vec_id", "embedding", "q_id", "q_vec", k = 10,
-        planes = 5, tables = 12)
+        planes = 0, tables = 1)
         .orderBy("q_id", "rank")
     }),
 
@@ -495,16 +511,20 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
-    // IVF ANN (the inverted-file scale path next to SRP-LSH): deterministic
-    // k-means cells, nProbe=2 of 8 — honest approximate search, recall
-    // pinned vs brute force in SimilaritySpec (probe-all == brute exactly)
+    // IVF ANN, PROVABLY-EXACT configuration (nProbe = nLists: every query
+    // probes every cell, so the whole IVF pipeline — deterministic k-means
+    // training, map-side cell assignment, inverted-file equi-join — runs
+    // and its candidate set equals the corpus ⇒ output ≡ brute force
+    // (pinned in SimilaritySpec "probing all cells equals brute force"),
+    // making the DuckDB brute-force SQL an exact oracle). Approximate
+    // nProbe < nLists recall is pinned vs brute in SimilaritySpec.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       graft.sim.Similarity.ivfTopK(emb, queries,
         "vec_id", "embedding", "q_id", "q_vec", k = 10,
-        nLists = 8, nProbe = 2, iters = 2)
+        nLists = 8, nProbe = 8, iters = 2)
         .orderBy("q_id", "rank")
     }),
 
@@ -523,13 +543,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // multimodal plumbing: stubbed decode over binary media columns
+    // multimodal plumbing: stubbed decode over binary media columns. The
+    // media identity is SQL-derivable (mediaFromDocs: id = doc_id, kind =
+    // doc_id mod 3, payload = text bytes or NULL), so the whole
+    // mapPartitions dataflow — typed Dataset encode, batched decode call,
+    // ok/featureDim contract incl. the NULL-payload failure path — is
+    // DuckDB-oracled; only the stub FNV feature VALUES stay ScalaTest-pinned
+    // (MultimodalSpec), being the declared codec boundary.
     "q_multimodal_features" -> ((s, dir) => {
-      val media = graft.multimodal.Multimodal.mediaFromPages(
-        documentsAsPages(t(s, dir, "documents")))
+      val media = graft.multimodal.Multimodal.mediaFromDocs(
+        t(s, dir, "documents"))
       graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
         .select(col("id"), col("kind"), col("ok"), col("featureDim"))
         .orderBy("id")
+    }),
+
+    // S9 read shape over the append-only event stream: opens per invoice +
+    // first/last-open timestamps (reference InvoiceOpen analytics,
+    // cerberus/models/invoice.py:330-337 + api.py:255-263 — "when was this
+    // invoice first opened, how many times"). Raw min/max timestamps are
+    // arithmetic-free → bit-identical across engines.
+    "q_invoice_opens" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_opens"),
+          min(col("ts")).as("first_open"),
+          max(col("ts")).as("last_open"))
     }),
 
     // drift: per-source PSI/KS of n_chars distributions vs the first source
@@ -555,25 +595,36 @@ object SparkEntry {
   private val CrmReplayGolden: String = """SELECT * FROM (VALUES
          ('1<US>9', '(global)', 'unique_customer_slot', 'customer_id,booking_slot_id', 'duplicate value for unique(customer_id,booking_slot_id): n=2', 'error'),
          ('2017-05-20 10:00:00<US>2017-05-20 11:00:00', '(global)', 'unique_start_end', 'start,end', 'duplicate value for unique(start,end): n=2', 'error'),
+         ('Home<US>1', '(global)', 'unique_name_customer', 'name,customer_id', 'duplicate value for unique(name,customer_id): n=2', 'error'),
+         ('Walk<US>12.00<US>4<US>2<US>3600', '(global)', 'unique_service', 'name,cost,max_pet,max_customer,length_s', 'duplicate value for unique(name,cost,max_pet,max_customer,length_s): n=2', 'error'),
          ('booking:2', 'booking', 'active_has_slot', 'booking_slot_id', 'booking_slot_id dependency violated: (state != ''canceled'') requires (booking_slot_id IS NOT NULL)', 'error'),
+         ('booking:20', 'booking', 'complete_requires_past_end', 'end', 'cannot complete a booking before its end', 'error'),
          ('booking:21', 'booking', 'booking_customer_fk', 'customer_id', 'booking_customer_fk', 'error'),
          ('booking:22', 'booking', 'pets_belong_to_customer', 'pets', 'pet 2 does not belong to booking customer', 'error'),
          ('booking:3', 'booking', 'canceled_has_no_slot', 'booking_slot_id', 'booking_slot_id dependency violated: (state = ''canceled'') requires (booking_slot_id IS NULL)', 'error'),
          ('booking:5', 'booking', 'start_before_end', 'start', 'start predicate failed: (start < end) OR start IS NULL OR end IS NULL', 'error'),
          ('booking:6', 'booking', 'fsm_legal', 'state', 'illegal transition preliminary -> completed', 'error'),
          ('booking:6', 'booking', 'valid_state', 'state', 'state not in allowed set {enquiry,preliminary,confirmed,canceled,completed}', 'error'),
+         ('booking_slot:13', 'booking_slot', 'orphan_slot', 'id', 'slot has no bookings', 'warn'),
          ('booking_slot:2', 'booking_slot', 'no_overlap', 'start', 'BookingSlot overlaps another BookingSlot', 'error'),
+         ('booking_slot:2', 'booking_slot', 'orphan_slot', 'id', 'slot has no bookings', 'warn'),
+         ('booking_slot:3', 'booking_slot', 'orphan_slot', 'id', 'slot has no bookings', 'warn'),
          ('booking_slot:3', 'booking_slot', 'start_before_end', 'start', 'start predicate failed: (start < end) OR start IS NULL OR end IS NULL', 'error'),
          ('booking_slot:4', 'booking_slot', 'max_pets', 'pets', 'Booking has max pets for service, 4', 'error'),
          ('booking_slot:5', 'booking_slot', 'max_customers', 'customer_id', 'Booking has max customers for service, 2', 'error'),
+         ('booking_slot:6', 'booking_slot', 'single_service', 'service_id', 'BookingSlot has multiple services', 'error'),
          ('booking_slot:7', 'booking_slot', 'no_overlap', 'start', 'BookingSlot overlaps another BookingSlot', 'error'),
          ('booking_slot:8', 'booking_slot', 'no_overlap', 'start', 'BookingSlot overlaps another BookingSlot', 'error'),
+         ('charge:100', 'charge', 'fsm_legal', 'state', 'illegal transition paid -> unpaid', 'error'),
          ('charge:101', 'charge', 'refund_within_amount', 'line', 'Refund amount exceeds the refundable amount', 'error'),
          ('charge:106', 'charge', 'void_charge_detached', 'invoice_id', 'invoice_id predicate failed: state != ''void'' OR invoice_id IS NULL', 'error'),
          ('customer:2', 'customer', 'last_name_looks_wrong', 'last_name', 'last name doesn''t look right', 'warn'),
          ('customer:2', 'customer', 'no_invoice_email', 'invoice_email', 'no invoice email set', 'warn'),
          ('customer:3', 'customer', 'generated_name', 'name', 'generated column name inconsistent with recompute', 'error'),
+         ('invoice:1', 'invoice', 'immutable_after_send', 'details', 'post-send edit to protected field details', 'error'),
+         ('invoice:4', 'invoice', 'fsm_legal', 'state', 'illegal transition draft -> paid', 'error'),
          ('invoice:4', 'invoice', 'paid_equals_total', 'paid', 'paid 30.00 != total 40.00', 'error'),
+         ('invoice:4', 'invoice', 'paid_on_consistent', 'paid_on', 'stored paid_on 2017-05-09 09:00:00 != audit-log reconstruction 2017-05-02 10:00:00', 'error'),
          ('invoice:4', 'invoice', 'send_guard', 'customer_id', 'sent to customer with issue: last name doesn''t look right', 'error'),
          ('invoice:4', 'invoice', 'send_guard', 'customer_id', 'sent to customer with issue: no invoice email set', 'error'),
          ('invoice:5', 'invoice', 'valid_state', 'state', 'state not in allowed set {draft,unpaid,paid,void}', 'error'),
@@ -585,6 +636,31 @@ object SparkEntry {
          ('pet:4', 'pet', 'valid_sex', 'sex', 'sex not in allowed set {male,female}', 'error'))
          AS t(key, part, rule_id, path, message, severity)"""
     .replace("<US>", "\u001f")
+
+  /** Exact brute-force cosine top-k in DuckDB — the oracle for all three
+    * ANN entries: q_ann_brute directly, and q_ann_lsh / q_ann_ivf because
+    * their driver configurations are provably exact (single-bucket LSH,
+    * probe-all IVF — see the query comments), so their output EQUALS brute
+    * force while still executing the full bucketed machinery. Scores are
+    * fold-order double arithmetic, bit-identical across engines.
+    */
+  private val AnnBruteSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] qv FROM embeddings
+               WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, e.vec_id AS id,
+             CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0
+                  ELSE list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))) END AS score
+           FROM e CROSS JOIN q)
+         SELECT q_id, id, score, CAST(rank AS INT) AS rank FROM (
+           SELECT q_id, id, score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, id ASC) AS rank
+           FROM scored) WHERE rank <= 10"""
 
   def oracleSql: Map[String, String] = Map(
     "q_crm_replay" -> CrmReplayGolden,
@@ -752,23 +828,19 @@ object SparkEntry {
     "q_pagination_offset" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 25 OFFSET 50""",
-    "q_ann_brute" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] qv FROM embeddings
-               WHERE vec_id < 5),
-         scored AS (
-           SELECT q.q_id, e.vec_id AS id,
-             CASE WHEN sqrt(list_dot_product(e.v, e.v))
-                       * sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0
-                  ELSE list_dot_product(e.v, q.qv) /
-                       (sqrt(list_dot_product(e.v, e.v))
-                        * sqrt(list_dot_product(q.qv, q.qv))) END AS score
-           FROM e CROSS JOIN q)
-         SELECT q_id, id, score, CAST(rank AS INT) AS rank FROM (
-           SELECT q_id, id, score,
-                  row_number() OVER (PARTITION BY q_id
-                    ORDER BY score DESC, id ASC) AS rank
-           FROM scored) WHERE rank <= 10""",
+    "q_ann_brute" -> AnnBruteSql,
+    "q_ann_lsh" -> AnnBruteSql,
+    "q_ann_ivf" -> AnnBruteSql,
+    "q_multimodal_features" ->
+      """SELECT doc_id AS id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         text IS NOT NULL AS ok,
+         CAST(CASE WHEN text IS NOT NULL THEN 8 ELSE 0 END AS INT) AS featureDim
+         FROM documents""",
+    "q_invoice_opens" ->
+      """SELECT user_id, count(*) AS n_opens,
+         min(ts) AS first_open, max(ts) AS last_open
+         FROM events WHERE event_type = 'view' GROUP BY 1""",
     // exact all-pairs word-3-gram Jaccard — ground truth for the LSH paths
     // (see q_minhash_lsh comment for why recall is exactly 1 here)
     "q_minhash_lsh" ->

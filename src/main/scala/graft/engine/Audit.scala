@@ -22,8 +22,13 @@ final class AuditLog(dir: String, spark: SparkSession) {
   private val verdictsDir = s"$dir/verdicts"
   private val runsDir = s"$dir/runs"
 
-  private def exists(p: String): Boolean =
-    new java.io.File(p).exists() // local FS; on a cluster: Hadoop FileSystem
+  private def exists(p: String): Boolean = {
+    // Hadoop FileSystem, not java.io.File: the audit table lives next to the
+    // data (hdfs:// or s3a:// in production), where a local-FS check would
+    // always say "missing" and silently restart validation from scratch
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
 
   /** Append verdict rows stamped with run lineage. */
   def append(verdicts: DataFrame, runId: String): Unit = {
@@ -97,7 +102,13 @@ object Audit {
         else {
           // rows already validated, from the (tiny) audit verdicts: one
           // checked figure per data partition (identical across that
-          // part's rule rows — take max), plus this run's pending rows
+          // part's rule rows — take max), plus this run's pending rows.
+          // ASSUMES append-only partitions (the crawl's unit of arrival):
+          // if an already-validated partition is later deleted, compacted
+          // or grown, the historical checked counts no longer describe the
+          // rows the full-table uniqueness pass scanned — re-validate such
+          // partitions (drop their audit rows) or derive checked from a
+          // keys-only count(*) over df instead when drift is possible.
           val doneRows =
             if (done.isEmpty) 0L // first run: the audit is schemaless-empty
             else {

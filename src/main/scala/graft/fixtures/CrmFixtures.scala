@@ -116,17 +116,22 @@ object CrmFixtures {
       (22L, 2L)                                          // pet 2 belongs to customer 2, booking 22 to customer 1
     ).toDF("booking_id", "pet_id")
 
-    // (id, customer_id, state, due, adjustment, customer_name, invoice_address, details)
+    // (id, customer_id, state, due, adjustment, customer_name,
+    //  invoice_address, details, paid_on). paid_on is the MonitorField
+    // (invoice.py:70-71): invoice 3's matches its state-log paid entry;
+    // invoice 4's was edited to 05-09 while the log says 05-02 → W7 drift.
     val invoices = Seq(
-      (1L, 1L, "unpaid", Some("2017-05-20"), 0.00, "Bob Smith", "1 Road", "d1"),  // overdue
-      (2L, 1L, "unpaid", Some("2017-05-22"), 0.00, "Bob Smith", "1 Road", "d2"),  // not due yet
-      (3L, 1L, "paid", Some("2017-05-01"), 0.00, "Bob Smith", "1 Road", "d3"),    // balanced
-      (4L, 2L, "paid", Some("2017-05-01"), 10.00, "Eve Jones&Co", "2 Road", "d4"),// paid != total → R17
-      (5L, 1L, "bogus", None, 0.00, "Bob Smith", "1 Road", "d5"),                  // bad state → R2
-      (6L, 999L, "unpaid", Some("2017-05-25"), 0.00, "??", "?", "d6"),             // missing customer → R9
-      (7L, 1L, "draft", None, 0.00, "Bob Smith", "1 Road", "d7")
+      (1L, 1L, "unpaid", Some("2017-05-20"), 0.00, "Bob Smith", "1 Road", "d1", None),  // overdue
+      (2L, 1L, "unpaid", Some("2017-05-22"), 0.00, "Bob Smith", "1 Road", "d2", None),  // not due yet
+      (3L, 1L, "paid", Some("2017-05-01"), 0.00, "Bob Smith", "1 Road", "d3",
+        Some(ts("2017-05-03 10:00:00"))),                                               // balanced
+      (4L, 2L, "paid", Some("2017-05-01"), 10.00, "Eve Jones&Co", "2 Road", "d4",
+        Some(ts("2017-05-09 09:00:00"))),                                               // paid != total → R17; paid_on drift → W7
+      (5L, 1L, "bogus", None, 0.00, "Bob Smith", "1 Road", "d5", None),                  // bad state → R2
+      (6L, 999L, "unpaid", Some("2017-05-25"), 0.00, "??", "?", "d6", None),             // missing customer → R9
+      (7L, 1L, "draft", None, 0.00, "Bob Smith", "1 Road", "d7", None)
     ).toDF("id", "customer_id", "state", "due_s", "adjustment_d",
-      "customer_name", "invoice_address", "details")
+      "customer_name", "invoice_address", "details", "paid_on")
       .withColumn("due", col("due_s").cast("date")).drop("due_s")
       .withColumn("adjustment", col("adjustment_d").cast("decimal(14,2)"))
       .drop("adjustment_d")

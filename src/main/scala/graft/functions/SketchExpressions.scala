@@ -209,13 +209,15 @@ case class SrpBucket(child: Expression, planes: Int, seed: Long)
 /** dot(a, b) over two array<double> vectors in one tight loop, summing
   * left-to-right — BIT-IDENTICAL to the sequential
   * `aggregate(zip_with(a,b,*), 0d, +)` fold it replaces (the DuckDB
-  * oracles compare raw doubles), but ~15x faster: the HOF pair is
-  * interpreted per element, which made all-pairs cosine verification the
-  * dominant cost of the similarity family.
+  * oracles compare raw doubles) INCLUDING its null semantics: zip_with
+  * null-pads length-mismatched arrays and propagates null elements, so the
+  * fold returns NULL there — and so does this expression. Unlike its four
+  * siblings it implements `doGenCode` (same loop emitted into the stage),
+  * because it sits inside all-pairs join conditions where a CodegenFallback
+  * island would break whole-stage fusion of the verify filter.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def nullable: Boolean = true
@@ -223,12 +225,40 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     java.lang.Double.valueOf(s)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -49,6 +49,26 @@ object Multimodal {
         (pmod(xxhash64(col("url"), lit(3)), lit(60000)) + 1).as("duration_ms")
       ).as("meta"))
 
+  /** Media table derived from the documents testdata with a SQL-derivable
+    * identity (`id = doc_id`, `kind = doc_id mod 3`) instead of xxhash64 —
+    * so the driver's DuckDB oracle can independently re-derive the
+    * per-row (id, kind, ok, featureDim) output of [[extractFeatures]].
+    * Null-text docs keep a NULL payload on purpose: they exercise the
+    * decode-failure path (ok = false, featureDim = 0).
+    */
+  def mediaFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("bytes"),
+      struct(
+        (pmod(col("doc_id") * 7, lit(1920)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id") * 13, lit(1080)) + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("doc_id") * 17, lit(60000)) + 1).as("duration_ms")
+      ).as("meta"))
+
   /** STUB decoder: deterministic fake feature vector derived from the byte
     * content (so tests are stable and byte-identity propagates to feature
     * identity). Replace the body with a real codec in production — the

@@ -64,9 +64,17 @@ object PagesTable {
       versionCol: String = "warc_ts"): Unit = {
     import org.apache.spark.sql.expressions.Window
     val updatesP = updates
-      .withColumn(PartitionCol, date_format(col("warc_ts"), "yyyy-MM-dd"))
+      // partition derives from the VERSION column (day granularity), so a
+      // caller merging on a different timestamp column gets a consistent
+      // layout instead of a silent warc_ts dependency
+      .withColumn(PartitionCol, date_format(col(versionCol), "yyyy-MM-dd"))
       .withColumn("_src", lit(1))
-    val exists = new java.io.File(dir).exists()
+    // Hadoop FS, not java.io.File: on hdfs://s3a:// a local check is always
+    // false and the merge path would be silently skipped (no latest-wins
+    // dedup, stale cross-day duplicates left behind)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val exists = dirPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dirPath)
     val (merged, mergeDays) = if (!exists) (updatesP, Seq.empty[String]) else {
       val arriving = updatesP.select(PartitionCol).distinct()
         .collect().map(_.getString(0)).toSeq // tiny: the arriving day(s)

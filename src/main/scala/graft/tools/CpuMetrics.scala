@@ -25,8 +25,22 @@ final class CpuMetrics(sc: SparkContext) {
 
   def reset(): Unit = { cpuNanos.set(0L); runMillis.set(0L); gcMillis.set(0L) }
 
-  /** Give the async listener bus a moment to deliver trailing task events. */
-  def settle(ms: Long = 1000L): Unit = Thread.sleep(ms)
+  /** Drain the async listener bus before reading (trailing TaskEnd events
+    * would otherwise undercount cpu_sec — the very signal BENCH.md grades
+    * on). `listenerBus.waitUntilEmpty` is private[spark] (= public in
+    * bytecode), reached via reflection; fixed sleep only as the fallback.
+    */
+  def settle(ms: Long = 1000L): Unit = {
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(ms))
+    } catch {
+      case _: java.lang.reflect.InvocationTargetException => () // timed out
+        // after waiting the full budget — same guarantee as the old sleep
+      case _: Throwable => Thread.sleep(ms)
+    }
+  }
 
   def cpuSec: Double = cpuNanos.get() / 1e9
   def runSec: Double = runMillis.get() / 1e3

@@ -47,7 +47,9 @@ class CrmReplaySpec extends SparkSuite {
     CrmChecks.accountingInvariants(t.invoices, t.charges, t.payments),
     CrmChecks.immutabilityDrift(t.invoices, t.invoicesAfter),
     CrmChecks.petOwnership(t.bookings, t.bookingPets, t.pets),
-    CrmChecks.orphanSlots(t.bookingSlots, t.bookings)
+    CrmChecks.orphanSlots(t.bookingSlots, t.bookings),
+    CrmChecks.monitorConsistency(t.invoices, t.stateLog,
+      "invoice", "paid", "paid_on")
   ).reduce(_.unionByName(_)).cache()
 
   private lazy val byRule: Map[String, Set[String]] =
@@ -101,7 +103,9 @@ class CrmReplaySpec extends SparkSuite {
       // bad pet enum
       "valid_sex" -> Set("pet:4"),
       // void() detaches invoice (charge.py:91-93)
-      "void_charge_detached" -> Set("charge:106")
+      "void_charge_detached" -> Set("charge:106"),
+      // W7 MonitorField drift: stored paid_on vs state-log reconstruction
+      "paid_on_consistent" -> Set("invoice:4")
     )
     expected.foreach { case (rule, want) =>
       assert(keys(rule) === want, s"rule $rule")
