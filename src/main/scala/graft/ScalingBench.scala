@@ -7,7 +7,7 @@ import graft.engine._
 import graft.fixtures.{PagesGen, PagesRules}
 
 /** The north-metric benchmark: validated rows/sec for the FULL rule-set
-  * pass (row rules + referential + salted uniqueness + stats/histograms +
+  * pass (row rules + referential + hash-candidate uniqueness + stats/histograms +
   * drift) over a pages table read from parquet.
   *
   * Run via spark-submit at two parallelism levels on the SAME input
@@ -23,9 +23,9 @@ import graft.fixtures.{PagesGen, PagesRules}
   *     --class graft.ScalingBench <jar> <rows> /tmp/scaling_32.json
   *
   * Determinism: the input parquet is generated once (seeded, hash-derived,
-  * no RNG) and reused by both runs; the salted aggregation salt derives
-  * from data, so violation/verdict counts are identical at both levels —
-  * the runs differ only in wall-clock.
+  * no RNG) and reused by both runs; every aggregation is exact, so
+  * violation/verdict counts are identical at both levels — the runs differ
+  * only in wall-clock.
   */
 object ScalingBench {
 
@@ -95,8 +95,6 @@ object ScalingBench {
     val hosts = spark.read.parquet(hostsDir)
     val cfg = EngineConfig(keyExpr = "url",
       partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts",
-      uniquenessSalts = 64,
       statsExprs = PagesRules.statsExprs,
       histograms = Seq(("text_len", "length(text)", 25.0)),
       quantilesFor = Seq("text_len"),

@@ -34,8 +34,7 @@ object SparkEntry {
       .where(col("host").isNotNull).distinct()
     val cfg = EngineConfig(
       keyExpr = "url",
-      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts")
+      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
     ValidationEngine.run(pages, PagesRules.catalog,
       dims = Map("hosts" -> hosts), cfg = cfg).verdicts
   }
@@ -379,8 +378,7 @@ object SparkEntry {
       val hosts = pages.select(expr("try_parse_url(url, 'HOST')").as("host"))
         .where(col("host").isNotNull).distinct()
       val cfg = EngineConfig(keyExpr = "url",
-        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts")
+        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
       ValidationEngine.run(pages, PagesRules.catalog,
         dims = Map("hosts" -> hosts), cfg = cfg)
         .verdicts.orderBy("part", "rule_id")
@@ -392,8 +390,7 @@ object SparkEntry {
     "q_pages_validate_planted" -> ((s, dir) => {
       val data = PagesGen.generate(s, nRows = 50000L, nDays = 5)
       val cfg = EngineConfig(keyExpr = "url",
-        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts")
+        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
       ValidationEngine.run(data.pages, PagesRules.catalog,
         dims = Map("hosts" -> data.hosts), cfg = cfg)
         .violations.groupBy(col("rule_id")).agg(count(lit(1)).as("n"))
@@ -412,8 +409,8 @@ object SparkEntry {
         ValidationEngine.run(df, rules,
           Map("customers" -> t.customers, "services" -> t.services,
             "invoices" -> t.invoices),
-          EngineConfig(s"concat('$e:', cast(id as string))", s"'$e'",
-            uniquenessSalts = 4)).violations
+          EngineConfig(s"concat('$e:', cast(id as string))",
+            s"'$e'")).violations
       Seq(
         run(t.bookings, CrmCatalog.bookingRules, "booking"),
         run(t.bookingSlots, CrmCatalog.slotRules, "booking_slot"),

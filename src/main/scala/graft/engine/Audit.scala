@@ -65,7 +65,7 @@ object Audit {
     * Uniqueness rules are GLOBAL (cross-partition): a key duplicated across
     * an already-validated partition and a newly-arrived one must still flag,
     * so the uniqueness pass scans the FULL table — keys-only, column-pruned
-    * passes over the unique-key columns + salt source, never the document
+    * passes over the unique-key columns, never the document
     * bodies. Row/referential/stats passes stay pending-only, and the global
     * verdict's checked count is reconstructed from the audit's own
     * per-partition history plus this run's profiles — no extra count scan.

@@ -11,30 +11,39 @@ import graft.rules.{Unique, RuleCompiler}
   * `tests/test_bookings.py:107-117`). Set-oriented equivalent: group by the
   * key, count > 1 ⇒ every key value with n > 1 is a violation.
   *
-  * Scale design: a single `groupBy(key)` on a skewed natural key (one host
-  * contributing a large share of urls — but crucially, one *url* repeated
-  * millions of times, which is exactly the duplicate case we must detect)
-  * would put the whole hot key in one reducer. So we aggregate in two
-  * phases:
+  * Scale design — the engine's ONE unavoidable full shuffle:
   *
-  *   phase 1: groupBy(key, salt) → partial counts   (hot key split S ways)
-  *   phase 2: groupBy(key)       → sum of partials  (at most S rows per key)
+  *   count:  groupBy(xxhash64(key)) — 8-byte hashes, partial+final
+  *           HashAggregate. Hot keys (one url repeated millions of times —
+  *           exactly the duplicate case we must detect) are handled by the
+  *           PARTIAL phase: count() is algebraic, every map task emits at
+  *           most one (hash, partial-count) row per key, so the final
+  *           aggregation receives ≤ #tasks rows for the hottest key.
+  *   verify: the duplicate-hash set (tiny) joins back to re-count by the
+  *           REAL key value — 64-bit hash collisions are re-split before a
+  *           violation is emitted. AQE skew-join handling covers a
+  *           pathological all-duplicates candidate join (on by default in
+  *           every engine entry point; keep it on).
   *
-  * The salt is derived from DATA (xxhash64 of the partition value), never
-  * from partition id or RNG, so verdicts are identical across parallelism
-  * levels (BASELINE.md determinism requirement). AQE skew-join handling
-  * covers residual imbalance.
+  * Rounds 1-2 hand-rolled a salted two-phase aggregation here; for an
+  * algebraic count that re-implements what partial aggregation already
+  * guarantees and pays a second full exchange + two extra aggregation
+  * passes (hashpartitioning(key, salt) does not satisfy the per-key
+  * phase's distribution requirement), measured ~35% of the phase's
+  * cpu/row on narrow rows. Exactness under a 33%-hot key and invariance
+  * to parallelism are pinned in SkewSpec.
   */
 object Uniqueness {
 
-  /** Deterministic data-derived salt in [0, salts). Hashed from
-    * cfg.saltExpr (fallback partExpr) — see EngineConfig.saltExpr for why
-    * it must vary within a duplicate-key group.
+  /** 64-bit key hash over the RAW typed key columns — Spark's multi-arg
+    * xxhash64 folds each column into the running seed, so column boundaries
+    * are preserved (("a","bc") never collides with ("ab","c") by
+    * construction) and NO key string is ever materialized in the counting
+    * phases: a counting row is 8 fixed bytes, both as a hash-table entry
+    * and on the shuffle wire.
     */
-  def saltCol(cfg: EngineConfig, salts: Int): Column = {
-    val src = if (cfg.saltExpr.nonEmpty) cfg.saltExpr else cfg.partExpr
-    pmod(xxhash64(expr(src)), lit(salts.toLong))
-  }
+  private[engine] def keyHash(columns: Seq[String]): Column =
+    xxhash64(columns.map(col): _*)
 
   /** One violation per DISTINCT duplicated key value (message carries the
     * multiplicity). Uniqueness is a cross-partition GLOBAL rule, so its
@@ -43,59 +52,78 @@ object Uniqueness {
     * a min(part-string) through them would force SortAggregate: string
     * buffers are not hash-mutable).
     *
-    * Shuffle shape (the dominant cost at 10^12 keys): the salted counting
-    * phases shuffle an 8-byte xxhash64 of the key, NEVER the key string —
-    * at Common-Crawl url lengths that is ~8x fewer shuffle bytes. Because
-    * a 64-bit hash CAN collide (the birthday bound bites at billions of
-    * keys), hash-duplicates are only CANDIDATES: an exact verify pass
-    * joins the (tiny) duplicate-hash set back and re-counts by the real
-    * key value — itself salted two-phase, so a hot duplicated key stays
-    * split in the verify aggregation too. The verify pass touches only
-    * candidate rows in the expected case; in a pathological all-duplicates
-    * input the candidate join falls back from BHJ to a shuffle join whose
-    * join-key partitioning concentrates a hot key on one task — AQE's
-    * skew-join splitting is the mitigation there (on by default in every
-    * engine entry point; keep it on).
+    * Shuffle shape (the dominant cost at 10^12 keys): the counting phase
+    * aggregates and shuffles an 8-byte xxhash64 of the key, NEVER the key
+    * string — at Common-Crawl url lengths that is ~8x fewer shuffle bytes,
+    * and the aggregation hash tables hold fixed-width entries instead of
+    * url-sized strings (the narrow-row scaling bottleneck round 2
+    * localized). Because a 64-bit hash CAN collide (the birthday bound
+    * bites at billions of keys), hash-duplicates are only CANDIDATES:
+    * [[verifiedViolations]] re-derives the real key values from the source
+    * for candidate rows only.
     */
   def duplicateKeyViolations(df: DataFrame, rule: Unique,
       cfg: EngineConfig): DataFrame = {
     // SQL unique-constraint semantics: NULLs never collide (NULL != NULL);
     // missing keys are the Required rule's business, not this one's.
-    val keyed = df
+    val hashed = df
       .where(rule.columns.map(col(_).isNotNull).reduce(_ && _))
-      .select(
-        concat_ws("\u001f", rule.columns.map(c => coalesce(col(c).cast("string"), lit("(null)"))): _*).as("_ukey"),
-        saltCol(cfg, cfg.uniquenessSalts).as("_salt"))
-    violationsFromKeyed(keyed, rule, cfg)
+      .select(keyHash(rule.columns).as("_kh"))
+    verifiedViolations(df, rule, cfg, dupHashes(hashed))
   }
 
-  /** Core two-phase salted + hash-shuffled pipeline over a pre-projected
-    * (_ukey, _salt) frame (shared by the engine's staged sink path).
+  /** Counting over 8-byte key-hash rows → the DISTINCT duplicated hashes.
+    *
+    * ONE partial+final hash aggregation, no salting: count() is algebraic,
+    * so Spark's map-side partial aggregation already splits a hot key
+    * across tasks by construction — each map task emits at most ONE
+    * (hash, partial-count) row per key, and the final aggregation receives
+    * at most #tasks rows for the hottest key. The salted two-phase scheme
+    * this replaces (rounds 1-2) re-implemented exactly that collapse by
+    * hand and paid a SECOND full exchange + two extra aggregation passes
+    * for it (hashpartitioning(kh, salt) cannot satisfy the phase-2
+    * hashpartitioning(kh) requirement) — measured ~35% of the uniqueness
+    * phase's cpu/row on narrow rows. Skew-exactness is pinned by SkewSpec
+    * either way; AQE skew handling stays on for the verify JOIN, which is
+    * the one place aggregation cannot pre-collapse a hot key.
     */
-  private[engine] def violationsFromKeyed(keyed: DataFrame, rule: Unique,
-      cfg: EngineConfig): DataFrame = {
-    // phase 1: (hash, salt) partial counts — hot keys split S ways
-    // phase 2: per-hash totals — at most S rows per hash
-    val dupHashes = keyed
-      .select(xxhash64(col("_ukey")).as("_kh"), col("_salt"))
-      .groupBy(col("_kh"), col("_salt"))
-      .agg(count(lit(1)).as("_n"))
+  private[engine] def dupHashes(hashed: DataFrame): DataFrame =
+    hashed
       .groupBy(col("_kh"))
-      .agg(sum(col("_n")).as("_hn"))
+      .agg(count(lit(1)).as("_hn"))
       .where(col("_hn") > 1)
       .select("_kh")
-    // exact verify: candidate rows only (hash collisions re-split here).
-    // No broadcast hint: the dup-hash set is tiny in the expected case and
-    // AQE picks BHJ from its ACTUAL size; a pathological all-dups input
-    // falls back to a shuffle join instead of OOMing the driver. The
-    // re-count is salted two-phase like phase 1, so the hot key the salt
-    // exists for stays split here too.
-    keyed
-      .join(dupHashes, xxhash64(col("_ukey")) === col("_kh"))
-      .groupBy(col("_ukey"), col("_salt"))
-      .agg(count(lit(1)).as("_vn"))
+
+  /** Exact verify pass: re-derive the real key VALUES from the source
+    * (column-pruned to the key columns — document bodies are never
+    * decoded here) and re-count by value for candidate rows only, so
+    * 64-bit collisions are re-split before a violation is emitted.
+    *
+    * No broadcast hint on the candidate join: the dup-hash set is tiny in
+    * the expected case and AQE picks BHJ from its ACTUAL size; a
+    * pathological all-dups input falls back to a shuffle join instead of
+    * OOMing the driver. The re-count is again partial+final aggregation,
+    * so a hot duplicated key is pre-collapsed per map task here too.
+    */
+  private[engine] def verifiedViolations(source: DataFrame, rule: Unique,
+      cfg: EngineConfig, dupHashes: DataFrame): DataFrame = {
+    val keyed = source
+      .where(rule.columns.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        concat_ws("\u001f",
+          rule.columns.map(c => col(c).cast("string")): _*).as("_ukey"),
+        keyHash(rule.columns).as("_kh"))
+    verifyCount(keyed.join(dupHashes, Seq("_kh")), rule)
+  }
+
+  /** Re-count candidates by real key value — one partial+final aggregation
+    * (map-side combine collapses a hot duplicated key per task, same
+    * argument as [[dupHashes]]) — and emit the violation rows.
+    */
+  private[engine] def verifyCount(cands: DataFrame, rule: Unique): DataFrame = {
+    cands
       .groupBy(col("_ukey"))
-      .agg(sum(col("_vn")).as("n"))
+      .agg(count(lit(1)).as("n"))
       .where(col("n") > 1)
       .select(
         col("_ukey").as("key"),

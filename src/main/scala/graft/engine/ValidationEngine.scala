@@ -13,8 +13,9 @@ import graft.rules._
   *
   * Scale notes (100 TB / 1000 executors):
   *  - row rules + referential: map-side only, zero shuffle (dims broadcast);
-  *  - uniqueness: two-phase salted aggregation (see [[Uniqueness]]) —
-  *    the only full shuffle, keyed on the natural key;
+  *  - uniqueness: partial+final hash aggregation over 8-byte key hashes
+  *    (see [[Uniqueness]]) — the only full shuffle, map-side combine
+  *    pre-collapses hot keys;
   *  - stats/drift: partial aggregation (map-side combine) then a tiny
   *    shuffle of per-(partition, column) aggregates;
   *  - verdicts/violations are tiny relative to input; they shuffle freely.
@@ -24,13 +25,6 @@ final case class EngineConfig(
     partExpr: String,           // SQL expr for the partition bucket
                                 // (e.g. "date_format(warc_ts, 'yyyy-MM-dd')")
     broadcastDims: Boolean = true,
-    uniquenessSalts: Int = 64,
-    // SQL expr the uniqueness salt is hashed from. MUST vary WITHIN a
-    // duplicate-key group or the hot key never splits (a day-granularity
-    // partition label fails this for within-day dups — use the full
-    // timestamp). Data-derived, never partition-id/RNG (determinism across
-    // parallelism). Empty = fall back to partExpr (fine for small tables).
-    saltExpr: String = "",
     // (name, sql) pairs to profile in the stats pass; empty = every column
     // as-is. Pass derived exprs (e.g. "length(text)") instead of megabyte
     // string bodies — min/max/HLL over full documents is wasted IO+CPU.
@@ -180,7 +174,7 @@ object ValidationEngine {
       refRules.map(r => (r.ruleId, r.path, RuleCompiler.message(r), r.severity))
 
   /** The compact per-row projection everything derives from: key, part,
-    * salt source, per-rule violation BITMASK (one long per 64 rules — all
+    * per-rule violation BITMASK (one long per 64 rules — all
     * the struct fields are rule-literal, so only the fired/not-fired bit is
     * per-row information), uniqueness key columns, stat/histogram inputs.
     * One decode of the (wide) source; the projection carries ~tens of
@@ -218,14 +212,19 @@ object ValidationEngine {
 
     val statsCols = cfg.statsExprs.map { case (n, e) => expr(e).as(s"_s_$n") }
     val histCols = cfg.histograms.map { case (n, e, _) => expr(e).as(s"_h_$n") }
-    val uniqCols = uniqueRules.flatMap(_.columns).distinct
-      .map(c => col(c).as(s"_u_$c"))
+    // per-unique-rule 64-bit KEY HASH (null when any key column is null —
+    // SQL unique semantics), NOT the key values: the counting phases only
+    // ever need the hash, so the stage stays free of key strings and the
+    // phase-1 aggregation reads 16 fixed bytes per row. The exact verify
+    // pass re-derives real key values from the source for candidates only.
+    val uniqCols = uniqueRules.zipWithIndex.map { case (r, i) =>
+      val nonNull = r.columns.map(col(_).isNotNull).reduce(_ && _)
+      when(nonNull, Uniqueness.keyHash(r.columns)).as(s"_uh_$i")
+    }
 
-    val saltSrc = if (cfg.saltExpr.nonEmpty) cfg.saltExpr else cfg.partExpr
     joined.select(Seq(
       coalesce(expr(cfg.keyExpr).cast("string"), lit("(null)")).as("_key"),
-      coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("_part"),
-      xxhash64(expr(saltSrc)).as("_saltsrc")) ++
+      coalesce(expr(cfg.partExpr).cast("string"), lit("(null)")).as("_part")) ++
       vbCols ++ uniqCols ++ statsCols ++ histCols: _*)
   }
 
@@ -257,7 +256,7 @@ object ValidationEngine {
   /** Production entry point: run the full pass writing each output to a
     * parquet sink. The wide source (document bodies) is decoded EXACTLY
     * ONCE into a compact all-scalar projection (cfg.stage = "parquet" |
-    * "memory"); violations, salted uniqueness, column stats, drift
+    * "memory"); violations, hash-candidate uniqueness, column stats, drift
     * histograms and verdicts all derive from it. Verdicts are assembled
     * from the WRITTEN violations (tiny) — never by re-executing the scan.
     */
@@ -284,17 +283,25 @@ object ValidationEngine {
         projection0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // 1. violations: row+referential (from projection) ∪ salted uniqueness
+      // 1. violations: row+referential (from projection) ∪ uniqueness.
+      // Duplicate-candidate counting reads the stage's 8-byte hash column
+      // only; the exact verify re-derives key values from the stage's _key
+      // (primary-key rules) or the column-pruned source (composite rules) —
+      // document bodies are never decoded twice.
       val rowVios = bitsToViolations(projection, meta)
-      val uniqVios = uniqueRules.map { r =>
-        val keyCols = r.columns.map(c => col(s"_u_$c"))
-        val nonNull = keyCols.map(_.isNotNull).reduce(_ && _)
-        val ukey = concat_ws("\u001f",
-          keyCols.map(c => coalesce(c.cast("string"), lit("(null)"))): _*)
-        val keyed = projection.where(nonNull)
-          .select(ukey.as("_ukey"),
-            pmod(col("_saltsrc"), lit(cfg.uniquenessSalts.toLong)).as("_salt"))
-        Uniqueness.violationsFromKeyed(keyed, r, cfg)
+      val uniqVios = uniqueRules.zipWithIndex.map { case (r, i) =>
+        val dups = Uniqueness.dupHashes(projection
+          .where(col(s"_uh_$i").isNotNull)
+          .select(col(s"_uh_$i").as("_kh")))
+        if (r.columns == Seq(cfg.keyExpr)) {
+          // primary-key uniqueness (rule over exactly the engine key
+          // expression — the common url case): the stage's _key column IS
+          // the key value, so the exact verify never re-reads the source
+          val keyed = projection.where(col(s"_uh_$i").isNotNull)
+            .select(col("_key").as("_ukey"), col(s"_uh_$i").as("_kh"))
+          Uniqueness.verifyCount(keyed.join(dups, Seq("_kh")), r)
+        } else
+          Uniqueness.verifiedViolations(df, r, cfg, dups)
       }
       val violationsOut = (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
 

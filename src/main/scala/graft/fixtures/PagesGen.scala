@@ -39,7 +39,7 @@ object PagesGen {
     xxhash64(id, lit(seed), lit(k))
 
   /** Host id with deliberate skew: ~30% of rows on host 0, ~15% on host 1
-    * (the "skewed hosts" the salted uniqueness pass must survive).
+    * (the "skewed hosts" the uniqueness pass must survive).
     */
   private def hostId(id: Column, seed: Long): Column = {
     val r = pmod(h(id, seed, 2), lit(100L))

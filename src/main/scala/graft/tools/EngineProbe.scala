@@ -25,7 +25,6 @@ object EngineProbe {
     val nRows = pages.count()
     val hosts = spark.read.parquet("/tmp/graft_bench_hosts_seed42")
     val cfg = EngineConfig("url", "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts", uniquenessSalts = 64,
       statsExprs = PagesRules.statsExprs,
       histograms = Seq(("text_len", "length(text)", 25.0)),
       quantilesFor = Seq("text_len"))

@@ -14,9 +14,7 @@ class AuditResumeSpec extends SparkSuite {
   import spark.implicits._
 
   private val cfg = EngineConfig(
-    keyExpr = "url", partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts",
-    uniquenessSalts = 4)
+    keyExpr = "url", partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
 
   test("incremental run validates only new partitions, idempotently") {
     val dir = Files.createTempDirectory("audit").toString

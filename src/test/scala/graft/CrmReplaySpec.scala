@@ -20,7 +20,7 @@ class CrmReplaySpec extends SparkSuite {
 
   private def cfgFor(entity: String) = EngineConfig(
     keyExpr = s"concat('$entity:', cast(id as string))",
-    partExpr = s"'$entity'", uniquenessSalts = 4)
+    partExpr = s"'$entity'")
 
   private lazy val dims = Map(
     "customers" -> t.customers, "services" -> t.services,

@@ -23,8 +23,8 @@ class DailyPipelineSpec extends SparkSuite {
     val days = inWindow.select(date_format($"warc_ts", "yyyy-MM-dd").as("d"))
       .distinct().as[String].collect().sorted
     assert(days.length === 5)
-    val cfg = EngineConfig("url", "date_format(warc_ts, 'yyyy-MM-dd')", saltExpr = "warc_ts",
-      uniquenessSalts = 8, statsExprs = PagesRules.statsExprs)
+    val cfg = EngineConfig("url", "date_format(warc_ts, 'yyyy-MM-dd')",
+      statsExprs = PagesRules.statsExprs)
 
     // day-by-day arrival: append each day's partition, re-run incrementally
     days.zipWithIndex.foreach { case (day, i) =>

@@ -7,7 +7,7 @@ import graft.fixtures.{PagesGen, PagesRules}
 /** End-to-end: full rule-set pass over the generated pages table must
   * reproduce EXACTLY the planted violation set (set-equality on
   * (key, rule_id), per FIXTURES.md — "tests assert set-equality, not
-  * counts"), and the salted uniqueness pass must agree with a trivial exact
+  * counts"), and the hash-candidate uniqueness pass must agree with an exact
   * groupBy oracle.
   */
 class PagesValidationSpec extends SparkSuite {
@@ -15,9 +15,7 @@ class PagesValidationSpec extends SparkSuite {
 
   private val cfg = EngineConfig(
     keyExpr = "url",
-    partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts",
-    uniquenessSalts = 8)
+    partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
 
   private lazy val data = PagesGen.generate(spark, nRows = 20000L, nDays = 5)
   private lazy val result = ValidationEngine.run(
@@ -47,7 +45,7 @@ class PagesValidationSpec extends SparkSuite {
     assert(all.subsetOf(fired), s"never fired: ${all -- fired}")
   }
 
-  test("salted uniqueness == exact groupBy oracle") {
+  test("hash-candidate uniqueness == exact groupBy oracle") {
     val oracle = data.pages.where($"url".isNotNull)
       .groupBy($"url").count().where($"count" > 1)
       .select($"url").as[String].collect().toSet
@@ -57,13 +55,13 @@ class PagesValidationSpec extends SparkSuite {
     assert(engine === oracle)
   }
 
-  test("uniqueness verdict is invariant to the salt count (determinism across parallelism)") {
-    val r4 = ValidationEngine.run(data.pages,
+  test("uniqueness verdict is invariant to input partitioning (determinism across parallelism)") {
+    val r4 = ValidationEngine.run(data.pages.coalesce(1),
       Seq(graft.rules.Unique(PagesRules.UniqueUrl, Seq("url"))),
-      cfg = cfg.copy(uniquenessSalts = 1))
-    val r64 = ValidationEngine.run(data.pages,
+      cfg = cfg)
+    val r64 = ValidationEngine.run(data.pages.repartition(64),
       Seq(graft.rules.Unique(PagesRules.UniqueUrl, Seq("url"))),
-      cfg = cfg.copy(uniquenessSalts = 64))
+      cfg = cfg)
     val a = r4.violations.select("key").as[String].collect().toSet
     val b = r64.violations.select("key").as[String].collect().toSet
     assert(a === b && a.nonEmpty)

@@ -40,8 +40,7 @@ class PhysicalPlanSpec extends SparkSuite {
       hosts = spark.read.parquet(s"$dir/hosts"))
   }
   private val cfg = EngineConfig(keyExpr = "url",
-    partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts", uniquenessSalts = 4)
+    partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
 
   test("referential checks compile to BroadcastHashJoin, never SortMergeJoin") {
     val vios = ValidationEngine.rowPass(data.pages, PagesRules.catalog,
@@ -107,13 +106,15 @@ class PhysicalPlanSpec extends SparkSuite {
       readSchema)
   }
 
-  test("uniqueness is a two-phase aggregation (partial then final over salt)") {
+  test("uniqueness is partial+final hash aggregation (map-side combine splits hot keys)") {
     val vio = Uniqueness.duplicateKeyViolations(data.pages,
       graft.rules.Unique("u", Seq("url")), cfg)
     val plan = planOf(vio)
-    // two HashAggregate pairs: (hash, salt) then (hash), + the verify agg
+    // one partial+final pair for counting, one for the exact verify — and
+    // NOT the old salted double-aggregation (its second full exchange and
+    // extra agg passes were ~35% of the phase's cpu/row)
     val aggs = "HashAggregate".r.findAllIn(plan).size
-    assert(aggs >= 4, s"expected partial+final x2 phases, got $aggs:\n${plan.take(800)}")
+    assert(aggs === 4, s"expected counting + verify partial/final pairs, got $aggs:\n${plan.take(800)}")
   }
 
   test("uniqueness counting shuffles 8-byte key hashes, never the key strings") {
@@ -152,5 +153,10 @@ class PhysicalPlanSpec extends SparkSuite {
     // and no document bodies: the widest column is the url-derived key
     assert(!byName.contains("_s_text") && !byName.contains("_s_html"),
       stage.schema.treeString)
+    // uniqueness travels as an 8-byte key HASH (_uh_i), never raw key
+    // strings: phase-1 counting reads 16 fixed bytes per row and the exact
+    // verify re-derives key values from the source for candidates only
+    assert(byName("_uh_0") === LongType, stage.schema.treeString)
+    assert(!byName.keys.exists(_.startsWith("_u_")), stage.schema.treeString)
   }
 }

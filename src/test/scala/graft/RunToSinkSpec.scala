@@ -15,8 +15,6 @@ class RunToSinkSpec extends SparkSuite {
     val data = PagesGen.generate(spark, nRows = 8000L, nDays = 4)
     val cfg = EngineConfig(
       keyExpr = "url", partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts",
-      uniquenessSalts = 8,
       statsExprs = PagesRules.statsExprs,
       histograms = Seq(("text_len", "length(text)", 25.0)))
     val sink = Files.createTempDirectory("sink").toString

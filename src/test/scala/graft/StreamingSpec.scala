@@ -13,8 +13,7 @@ class StreamingSpec extends SparkSuite {
   test("foreachBatch streaming pass emits the same violations as batch") {
     val data = PagesGen.generate(spark, nRows = 3000L, nDays = 3)
     val cfg = EngineConfig(keyExpr = "url",
-      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')",
-      saltExpr = "warc_ts", uniquenessSalts = 4)
+      partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
     val rules = PagesRules.catalog.filterNot(_.isInstanceOf[graft.rules.Unique])
 
     // batch truth
