@@ -508,6 +508,26 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // embedding near-dup SCALE configuration (SRP-bucketed, 3 tables,
+    // stop-band cap armed) — the headline similarity path. Oracle-EXACT by
+    // construction: the corpus is embeddings ∪ exact copies of the first 30
+    // vectors; identical vectors share every SRP bucket (recall 1 PROVABLY,
+    // not probabilistically), and the only pairs with cosine ≥ 0.9 are
+    // those copies (max non-identical pair: ≈0.51 at sf0.01, ≈0.60 at
+    // sf0.1 — verified against DuckDB all-pairs at both scales), so
+    // the bucketed output EQUALS the DuckDB all-pairs oracle while the
+    // operator only compares within matching buckets — the templated/
+    // duplicate-embedding dedup scenario at its real cost shape.
+    "q_cosine_neardups_bucketed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") < 30)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      graft.sim.Similarity.cosineNearDups(corpus, "vec_id", "embedding",
+        threshold = 0.9, planes = 10, tables = 3, maxBucketSize = 2000)
+        .orderBy("a_id", "b_id")
+    }),
+
     // IVF ANN, PROVABLY-EXACT configuration (nProbe = nLists: every query
     // probes every cell, so the whole IVF pipeline — deterministic k-means
     // training, map-side cell assignment, inverted-file equi-join — runs
@@ -916,6 +936,22 @@ object SparkEntry {
            AND list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
+    "q_cosine_neardups_bucketed" ->
+      """WITH c AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000, embedding::DOUBLE[] FROM embeddings
+           WHERE vec_id < 30)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cosine
+         FROM c a JOIN c b ON a.vec_id < b.vec_id
+         WHERE sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v)) != 0
+           AND list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) >= 0.9""",
     "q_text_quality" ->
       """WITH m AS (SELECT doc_id,
            len(regexp_extract_all(coalesce(text,''), '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|auf)\b')) AS h_de,

@@ -266,6 +266,90 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** array<double> vector → the `nProbe` nearest IVF cells by cosine (ties →
+  * lowest cell id), the coarse-quantizer assignment of an inverted-file
+  * index. The trained centroid matrix rides along as ONE constructor
+  * value shipped in the task closure (the classic broadcast-the-model
+  * shape) — NOT as per-centroid expression subtrees: the previous
+  * formulation built `struct(-cosine(vec, centroidLit), cell)` per
+  * centroid plus a per-row array_sort, so the PLAN grew with nLists and
+  * codegen of k subtrees dominated at the 10^4-10^6 lists a real IVF
+  * wants. Here plan size is O(1) in nLists and per-row work is one
+  * k×dim loop + an O(k·nProbe) selection.
+  *
+  * Scoring is bit-compatible with the engine's cosine (same left-to-right
+  * dot fold, same zero-denominator → 0 rule), so assignments are identical
+  * to the expression-tree path it replaced — pinned by SimilaritySpec's
+  * probe-all ≡ brute-force test.
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+    nProbe: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = centroids.length
+    val v = new Array[Double](n)
+    var vv = 0.0
+    var i = 0
+    while (i < n) { v(i) = arr.getDouble(i); vv += v(i) * v(i); i += 1 }
+    val nv = math.sqrt(vv)
+    // negated cosine per cell (so "smaller = nearer", matching the sort
+    // order of the struct formulation this replaces)
+    val neg = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val m = math.min(n, cent.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) { d += v(j) * cent(j); j += 1 }
+      val den = nv * centroidNorms(c)
+      neg(c) = if (den == 0) -0.0 else -(d / den)
+      c += 1
+    }
+    // O(k·nProbe) partial selection; ascending scan keeps the LOWEST cell
+    // id on score ties (== lexicographic (negscore, cell) array_sort)
+    val p = math.min(nProbe, k)
+    val chosen = new Array[Int](p)
+    val used = new Array[Boolean](k)
+    var sel = 0
+    while (sel < p) {
+      var best = -1
+      var bestScore = Double.PositiveInfinity
+      var cc = 0
+      while (cc < k) {
+        if (!used(cc) && (best < 0 || neg(cc) < bestScore)) {
+          best = cc; bestScore = neg(cc)
+        }
+        cc += 1
+      }
+      chosen(sel) = best
+      used(best) = true
+      sel += 1
+    }
+    new GenericArrayData(chosen)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
+  // keep plans readable + O(1): never print the matrix
+  override def toString: String =
+    s"nearest_cells($child, k=${centroids.length}, nProbe=$nProbe)"
+}
+
 object SketchExpressions {
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     GraftColumnShim.column(
@@ -286,4 +370,9 @@ object SketchExpressions {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnShim.column(DotProduct(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  def nearestCells(vec: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column =
+    GraftColumnShim.column(NearestCells(
+      GraftColumnShim.expression(vec), centroids, nProbe))
 }

@@ -138,27 +138,19 @@ object Similarity {
   }
 
   /** Adds `out` = the `nProbe` nearest cells (by cosine, ties → lowest
-    * cell id), computed over centroid LITERALS — assignment is map-side
-    * only, no join, no shuffle; exactly how a trained coarse quantizer
-    * ships to 1000 executors (in the task closure, not as a joined table).
-    * Two projections: the scored struct array must cross a select boundary
-    * so its field names are materialized in the schema before the sort
-    * lambda's getField resolves against them.
+    * cell id): assignment is map-side only, no join, no shuffle — exactly
+    * how a trained coarse quantizer ships to 1000 executors (in the task
+    * closure, not as a joined table). The centroid matrix travels as ONE
+    * value inside the [[graft.functions.NearestCells]] expression, so the
+    * PLAN stays O(1) in nLists; the round-2 formulation built one
+    * struct(-cosine(vec, centroidLiteral), cell) subtree per centroid plus
+    * a per-row array_sort, which made plan/codegen size itself the
+    * bottleneck beyond ~100 lists (real IVF wants 10^4-10^6).
     */
   private def withNearestCells(df: DataFrame, vec: Column,
-      centroids: Array[Array[Double]], nProbe: Int, out: String): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, cell) =>
-      // ONE ArrayType literal per centroid (not dim CreateArray children):
-      // k x dim scalar literals made plan codegen the dominant cost
-      val cArr = typedLit(c.toSeq)
-      struct((-cosine(vec, cArr)).as("negscore"), lit(cell).as("cell"))
-    }
-    df.withColumn("_scored", array(scored: _*))
-      .withColumn(out,
-        transform(slice(array_sort(col("_scored")), 1, nProbe),
-          s => s.getField("cell")))
-      .drop("_scored")
-  }
+      centroids: Array[Array[Double]], nProbe: Int, out: String): DataFrame =
+    df.withColumn(out, graft.functions.SketchExpressions.nearestCells(
+      vec.cast("array<double>"), centroids, nProbe))
 
   /** IVF top-k: assign the corpus once (the "inverted file"), assign each
     * query to its `nProbe` nearest cells, equi-join on cell, exact cosine

@@ -72,6 +72,29 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("IVF assignment plan is O(1) in nLists (matrix rides in the expression, not the tree)") {
+    // 300 vectors so even 64 lists train meaningfully
+    val big = (0 until 300).map(i => (i.toLong, vec(i % 3, i)))
+      .toDF("vec_id", "embedding")
+    val qs = queries
+    def planLen(nLists: Int): Int = {
+      val df = Similarity.ivfTopK(big, qs, "vec_id", "embedding",
+        "q_id", "q_vec", k = 5, nLists = nLists, nProbe = 2, iters = 1)
+      df.queryExecution.optimizedPlan.toString.length
+    }
+    val l4 = planLen(4)
+    val l64 = planLen(64)
+    // round-2's per-centroid struct subtrees grew the plan ~16x here; the
+    // NearestCells expression keeps it flat (small slack for AQE noise)
+    assert(l64 <= l4 * 12 / 10, s"plan grew with nLists: $l4 -> $l64")
+    // and the 64-list index still returns sane neighbours
+    val got = Similarity.ivfTopK(big, qs, "vec_id", "embedding",
+      "q_id", "q_vec", k = 5, nLists = 64, nProbe = 16, iters = 1)
+      .select("q_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(100L).forall(_ % 3 == 0), got(100L).toString)
+  }
+
   test("IVF training is deterministic across partitioning") {
     val c1 = Similarity.ivfTrain(corpus, "vec_id", "embedding", nLists = 4, iters = 2)
     val c2 = Similarity.ivfTrain(corpus.repartition(7), "vec_id", "embedding",
