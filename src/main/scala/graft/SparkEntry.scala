@@ -608,6 +608,13 @@ object SparkEntry {
     * this checked-in ground truth (each row is independently pinned to the
     * reference semantics in CrmReplaySpec). `<US>` marks the 0x1f unit
     * separator used in composite uniqueness keys.
+    *
+    * COUPLING: these rows duplicate engine violation MESSAGE strings — any
+    * message change in CrmChecks/RuleCompiler/CrmCatalog must be mirrored
+    * here or the driver's row goes red while ScalaTest stays green. Do NOT
+    * edit by hand: run `sbt "runMain graft.tools.CrmGoldenPrinter"` and
+    * paste its output (it re-emits this literal, `<US>` included), then
+    * justify any diff against CrmReplaySpec's expected map.
     */
   private val CrmReplayGolden: String = """SELECT * FROM (VALUES
          ('1<US>9', '(global)', 'unique_customer_slot', 'customer_id,booking_slot_id', 'duplicate value for unique(customer_id,booking_slot_id): n=2', 'error'),

@@ -53,6 +53,28 @@ class AuditResumeSpec extends SparkSuite {
     assert(runs === Set("run1", "run3"))
   }
 
+  test("audit existence check resolves through the Hadoop FileSystem (file:-scheme URI)") {
+    // a qualified file: URI exercises Path.getFileSystem resolution — the
+    // java.io.File check this replaced would also pass here, but fails on
+    // hdfs://s3a://; this pins the API we rely on for those
+    val dir = "file://" + Files.createTempDirectory("audit_fs").toString
+    val audit = new AuditLog(dir, spark)
+    assert(audit.validatedParts() === Set.empty)
+    assert(audit.verdicts().isEmpty)
+    val data = PagesGen.generate(spark, nRows = 500L, nDays = 1)
+    val r = Audit.runIncremental(
+      data.pages.where(year($"warc_ts") === 2024),
+      Seq(graft.rules.Required("url_required", "url")),
+      Map.empty, cfg, dir, "run1")
+    assert(r.isDefined)
+    assert(audit.validatedParts().nonEmpty)
+    // and the resume no-op works through the same FS-resolved existence
+    assert(Audit.runIncremental(
+      data.pages.where(year($"warc_ts") === 2024),
+      Seq(graft.rules.Required("url_required", "url")),
+      Map.empty, cfg, dir, "run2").isEmpty)
+  }
+
   test("null-part rows validate exactly once; resume isin is null-safe") {
     val dir = Files.createTempDirectory("audit_null").toString
     def page(url: String, ts: Option[String], lang: String) =

@@ -78,7 +78,7 @@ host_eff = h1 / hk
 
 print(f"""# BENCH — scaling evidence (north_rule sandbox protocol)
 
-Full validation job (row rules + referential + salted uniqueness + column
+Full validation job (row rules + referential + hash-candidate uniqueness + column
 stats + drift histograms; violations/verdicts/profiles/histograms written to
 parquet) over the SAME deterministic seeded input (generated once, read from
 parquet), via spark-submit at local[{n}] vs local[{n4}] — the sandbox
@@ -103,7 +103,8 @@ cores observed across the session). Wall-clock efficiency is bounded by that
 grant REGARDLESS of engine quality; the decode-floor control above bounds
 the achievable cpu/row ratio. Engine-side there is no serial scan: the wide
 source is decoded exactly once, dims broadcast (no shuffle), uniqueness is
-two-phase salted (hot keys split across reducers — see SkewSpec), phase
+a partial+final hash aggregation over 8-byte key hashes (map-side combine
+pre-collapses hot keys — see SkewSpec), phase
 sinks run as concurrent jobs, and verdict assembly touches only tiny
 written outputs.
 
@@ -122,8 +123,8 @@ tools/bench_scaling.sh {n} <repeats> parquet
 
 Input fingerprint: seed=42, schema=(url string, warc_ts timestamp,
 html binary, text string, lang string), 10 daily partitions, generated by
-`graft.fixtures.PagesGen` (xxhash64-of-id, zero RNG; salted-aggregation salt
-derives from warc_ts, never partition id). Wide rows: text right-padded to
+`graft.fixtures.PagesGen` (xxhash64-of-id, zero RNG; every aggregation
+is exact, no RNG anywhere). Wide rows: text right-padded to
 ~16 KB, html carries a copy (~33 KB/row); columnar reader batches capped
 near 16 MB inside ScalingBench.
 """)
