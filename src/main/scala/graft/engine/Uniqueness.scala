@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.rules.{Unique, RuleCompiler}
+import graft.rules.Unique
 
 /** Uniqueness checking at scale (SURVEY.md §2.4 A9, rule R5).
   *
@@ -66,10 +66,11 @@ object Uniqueness {
       cfg: EngineConfig): DataFrame = {
     // SQL unique-constraint semantics: NULLs never collide (NULL != NULL);
     // missing keys are the Required rule's business, not this one's.
+    // (cfg reserved for engine-level knobs; the pass itself is config-free)
     val hashed = df
       .where(rule.columns.map(col(_).isNotNull).reduce(_ && _))
       .select(keyHash(rule.columns).as("_kh"))
-    verifiedViolations(df, rule, cfg, dupHashes(hashed))
+    verifiedViolations(df, rule, dupHashes(hashed))
   }
 
   /** Counting over 8-byte key-hash rows → the DISTINCT duplicated hashes.
@@ -106,7 +107,7 @@ object Uniqueness {
     * so a hot duplicated key is pre-collapsed per map task here too.
     */
   private[engine] def verifiedViolations(source: DataFrame, rule: Unique,
-      cfg: EngineConfig, dupHashes: DataFrame): DataFrame = {
+      dupHashes: DataFrame): DataFrame = {
     val keyed = source
       .where(rule.columns.map(col(_).isNotNull).reduce(_ && _))
       .select(
@@ -140,8 +141,7 @@ object Uniqueness {
     * per-row IntegrityError). Costs a second shuffle (semi-join back);
     * prefer [[duplicateKeyViolations]] at scale.
     */
-  def duplicateRows(df: DataFrame, columns: Seq[String],
-      cfg: EngineConfig): DataFrame = {
+  def duplicateRows(df: DataFrame, columns: Seq[String]): DataFrame = {
     val dupKeys = df.groupBy(columns.map(col): _*)
       .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
       .select(columns.map(col): _*)

@@ -301,7 +301,7 @@ object ValidationEngine {
             .select(col("_key").as("_ukey"), col(s"_uh_$i").as("_kh"))
           Uniqueness.verifyCount(keyed.join(dups, Seq("_kh")), r)
         } else
-          Uniqueness.verifiedViolations(df, r, cfg, dups)
+          Uniqueness.verifiedViolations(df, r, dups)
       }
       val violationsOut = (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
 

@@ -73,8 +73,8 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("IVF assignment plan is O(1) in nLists (matrix rides in the expression, not the tree)") {
-    // 300 vectors so even 64 lists train meaningfully
-    val big = (0 until 300).map(i => (i.toLong, vec(i % 3, i)))
+    // 600 vectors so even 256 lists train meaningfully
+    val big = (0 until 600).map(i => (i.toLong, vec(i % 3, i)))
       .toDF("vec_id", "embedding")
     val qs = queries
     def planLen(nLists: Int): Int = {
@@ -83,13 +83,14 @@ class SimilaritySpec extends SparkSuite {
       df.queryExecution.optimizedPlan.toString.length
     }
     val l4 = planLen(4)
-    val l64 = planLen(64)
-    // round-2's per-centroid struct subtrees grew the plan ~16x here; the
-    // NearestCells expression keeps it flat (small slack for AQE noise)
-    assert(l64 <= l4 * 12 / 10, s"plan grew with nLists: $l4 -> $l64")
-    // and the 64-list index still returns sane neighbours
+    val l256 = planLen(256)
+    // round-2's per-centroid struct subtrees grew the plan with nLists
+    // (k subtrees + a k-element per-row sort — unusable at the 10^4-10^6
+    // lists real IVF wants); NearestCells keeps it flat
+    assert(l256 <= l4 * 12 / 10, s"plan grew with nLists: $l4 -> $l256")
+    // and the 256-list index still returns sane neighbours
     val got = Similarity.ivfTopK(big, qs, "vec_id", "embedding",
-      "q_id", "q_vec", k = 5, nLists = 64, nProbe = 16, iters = 1)
+      "q_id", "q_vec", k = 5, nLists = 256, nProbe = 64, iters = 1)
       .select("q_id", "id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(got(100L).forall(_ % 3 == 0), got(100L).toString)
