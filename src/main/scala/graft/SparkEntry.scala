@@ -589,6 +589,39 @@ object SparkEntry {
           max(col("ts")).as("last_open"))
     }),
 
+    // S6: the invoice e-mail/PDF render sink as a batch job over the CRM
+    // fixture (invoice.py:161-209 send/send_email + emails/invoice.txt) —
+    // sendable set, due-defaulting, totals, and the full assembled body.
+    // The pdf_bytes stub column is ScalaTest-pinned (InvoiceEmailSpec);
+    // here the SQL-derivable surface is oracled end-to-end.
+    "q_invoice_emails" -> ((s, dir) => {
+      val tb = graft.fixtures.CrmFixtures.build(s)
+      graft.crm.InvoiceEmail.renderEmails(tb.invoices, tb.charges,
+        tb.customers, graft.fixtures.CrmFixtures.FrozenTodaySql)
+        .select(col("invoice_id"), col("subject"), col("sent_to"),
+          col("body"), col("total").cast("double").as("total"), col("due"))
+        .orderBy("invoice_id")
+    }),
+
+    // F16: humanized dates/ages (humanize.naturaldate/naturaldelta,
+    // booking.py:278 + pet.py:97-101) over orders with a frozen today
+    // inside the data range — exercises today/tomorrow/yesterday, the
+    // in-year "Mon dd" form, the cross-year "Mon dd yyyy" form, and the
+    // day/month/year delta branches. Grouped so the result is the full
+    // vocabulary with counts.
+    "q_natural_dates" -> ((s, dir) => {
+      val today = "date'1995-06-15'"
+      t(s, dir, "orders")
+        .select(
+          graft.functions.StringFunctions
+            .naturalDate(col("o_orderdate"), expr(today)).as("nat_date"),
+          graft.functions.StringFunctions
+            .naturalDelta(datediff(expr(today), col("o_orderdate"))
+              .cast("long") * 86400L).as("age"))
+        .groupBy("nat_date", "age").agg(count(lit(1)).as("n"))
+        .orderBy("nat_date", "age")
+    }),
+
     // drift: per-source PSI/KS of n_chars distributions vs the first source
     "q_drift_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -865,6 +898,90 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_opens,
          min(ts) AS first_open, max(ts) AS last_open
          FROM events WHERE event_type = 'view' GROUP BY 1""",
+    // S6 invoice e-mail render, independently RE-DERIVED in SQL: the CRM
+    // fixture rows ride along as VALUES (same golden-coupling discipline
+    // as q_crm_replay) and DuckDB recomputes the sendable set, charge
+    // totals, due-defaulting, and the full template body.
+    "q_invoice_emails" ->
+      """WITH inv(id, customer_id, state, due, adjustment) AS (VALUES
+           (1, 1, 'unpaid', DATE '2017-05-20', CAST(0.00 AS DECIMAL(14,2))),
+           (2, 1, 'unpaid', DATE '2017-05-22', CAST(0.00 AS DECIMAL(14,2))),
+           (3, 1, 'paid',   DATE '2017-05-01', CAST(0.00 AS DECIMAL(14,2))),
+           (4, 2, 'paid',   DATE '2017-05-01', CAST(10.00 AS DECIMAL(14,2))),
+           (5, 1, 'bogus',  CAST(NULL AS DATE), CAST(0.00 AS DECIMAL(14,2))),
+           (6, 999, 'unpaid', DATE '2017-05-25', CAST(0.00 AS DECIMAL(14,2))),
+           (7, 1, 'draft',  CAST(NULL AS DATE), CAST(0.00 AS DECIMAL(14,2)))),
+         cust(id, name, invoice_email, last_name) AS (VALUES
+           (1, 'Bob Smith', 'bob@x.com', 'Smith'),
+           (2, 'Eve Jones&Co', '', 'Jones&Co'),
+           (3, 'WRONG NAME', 'al@x.com', 'Brown'),
+           (4, 'Cy Dale', 'cy@x.com', 'Dale')),
+         chg(invoice_id, line, quantity) AS (VALUES
+           (1, CAST(5.00 AS DECIMAL(14,2)), 1),
+           (1, CAST(15.00 AS DECIMAL(14,2)), 2),
+           (3, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (3, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (3, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (4, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (4, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (4, CAST(10.00 AS DECIMAL(14,2)), 1)),
+         sub AS (SELECT invoice_id, sum(line*quantity) AS s FROM chg GROUP BY 1),
+         r AS (
+           SELECT i.id AS invoice_id,
+             printf('INV-%03d', i.id) AS name,
+             c.name AS cname, c.invoice_email AS email,
+             coalesce(i.due, CAST(DATE '2017-05-21' + INTERVAL 7 DAY AS DATE)) AS due,
+             CAST(coalesce(sub.s, 0) + i.adjustment AS DECIMAL(14,2)) AS total
+           FROM inv i JOIN cust c ON i.customer_id = c.id
+           LEFT JOIN sub ON sub.invoice_id = i.id
+           WHERE i.state IN ('draft','unpaid')
+             AND c.invoice_email <> '' AND c.last_name NOT LIKE '%&%')
+         SELECT invoice_id,
+           'Invoice ' || name || ' - Stretch there legs' AS subject,
+           cname || ' <' || email || '>' AS sent_to,
+           'Hi ' || cname || ',' || chr(10) || chr(10) ||
+             'Please find attached your latest invoice ' || name || '.' || chr(10) ||
+             'Payment of ' || CAST(total AS VARCHAR) || ' is due ' ||
+             CAST(due AS VARCHAR) || '.' || chr(10) || chr(10) ||
+             'Kind regards,' || chr(10) || 'Stef Dua' || chr(10) || chr(10) ||
+             'Owner' || chr(10) || 'Stretch Their Legs' || chr(10) || chr(10) ||
+             '07712 613 763' || chr(10) || 'stef@stretchtheirlegs.co.uk' ||
+             chr(10) || 'www.stretchtheirlegs.co.uk' AS body,
+           CAST(total AS DOUBLE) AS total, due
+         FROM r""",
+    // F16 humanized dates — the humanize branch tree re-expressed as CASE
+    "q_natural_dates" ->
+      """WITH d AS (
+           SELECT o_orderdate AS dt,
+             datediff('day', DATE '1995-06-15', o_orderdate) AS delta
+           FROM orders),
+         n AS (
+           SELECT
+             CASE WHEN delta = 0 THEN 'today'
+                  WHEN delta = 1 THEN 'tomorrow'
+                  WHEN delta = -1 THEN 'yesterday'
+                  WHEN abs(delta) >= 365 THEN strftime(dt, '%b %d %Y')
+                  ELSE strftime(dt, '%b %d') END AS nat_date,
+             abs(delta) AS days,
+             abs(delta) // 365 AS years,
+             abs(delta) % 365 AS rem,
+             CAST(floor((abs(delta) % 365) / 30.5) AS BIGINT) AS months
+           FROM d),
+         a AS (
+           SELECT nat_date,
+             CASE
+               WHEN days = 0 THEN 'a moment'
+               WHEN years = 0 AND days = 1 THEN 'a day'
+               WHEN years = 0 AND months = 0 THEN days || ' days'
+               WHEN years = 0 AND months = 1 THEN 'a month'
+               WHEN years = 0 THEN months || ' months'
+               WHEN years = 1 AND months = 0 AND rem = 0 THEN 'a year'
+               WHEN years = 1 AND months = 0 THEN '1 year, ' || rem || ' days'
+               WHEN years = 1 AND months = 1 THEN '1 year, 1 month'
+               WHEN years = 1 THEN '1 year, ' || months || ' months'
+               ELSE years || ' years' END AS age
+           FROM n)
+         SELECT nat_date, age, count(*) AS n FROM a GROUP BY 1, 2""",
     // exact all-pairs word-3-gram Jaccard — ground truth for the LSH paths
     // (see q_minhash_lsh comment for why recall is exactly 1 here)
     "q_minhash_lsh" ->

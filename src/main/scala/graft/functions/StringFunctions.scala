@@ -72,4 +72,63 @@ object StringFunctions {
     */
   def icontains(c: Column, needle: String): Column =
     lower(c).contains(needle.toLowerCase)
+
+  /** F16: `humanize.naturaldate` (used for booking display names,
+    * `cerberus/models/booking.py:278,302-303`): "today" / "tomorrow" /
+    * "yesterday" relative to `today`; other dates within a year render
+    * "Mon dd" and dates a year-or-more away "Mon dd yyyy" — the public
+    * humanize library's exact branch structure (naturaldate →
+    * naturalday with a "%b %d %Y" format once |Δ| ≥ 365 days).
+    *
+    * Pure `when` chain + `date_format` — stays in whole-stage codegen;
+    * `today` is an explicit column (the engine's frozen-clock discipline,
+    * F4) so results are deterministic and oracle-able.
+    */
+  def naturalDate(d: Column, today: Column): Column = {
+    val delta = datediff(d, today)
+    when(d.isNull, lit(null.asInstanceOf[String]))
+      .when(delta === 0, lit("today"))
+      .when(delta === 1, lit("tomorrow"))
+      .when(delta === -1, lit("yesterday"))
+      .when(abs(delta) >= 365, date_format(d, "MMM dd yyyy"))
+      .otherwise(date_format(d, "MMM dd"))
+  }
+
+  /** F16: `humanize.naturaldelta` (pet age, `cerberus/models/pet.py:97-101`)
+    * over a duration in seconds — the library's full branch tree with
+    * months enabled: "a moment", "N seconds", "a minute", "N minutes",
+    * "an hour", "N hours", "a day", "N days", "a month", "N months",
+    * "a year", "1 year, N days", "1 year, N months", "N years".
+    * Calendar approximation is humanize's own: years = days/365,
+    * months = remaining-days/30.5.
+    */
+  def naturalDelta(seconds: Column): Column = {
+    val secs = abs(seconds.cast("long"))
+    val days = (secs / 86400L).cast("long")
+    val years = (days / 365L).cast("long")
+    val remDays = days % 365L
+    val months = floor(remDays / 30.5).cast("long")
+    val s = secs % 86400L // humanize's delta.seconds: within-day remainder
+    val str: Column => Column = _.cast("string")
+    when(seconds.isNull, lit(null.asInstanceOf[String]))
+      .when(years === 0 && days === 0,
+        when(s === 0, lit("a moment"))
+          .when(s === 1, lit("a second"))
+          .when(s < 60, concat(str(s), lit(" seconds")))
+          .when(s < 120, lit("a minute"))
+          .when(s < 3600, concat(str((s / 60L).cast("long")), lit(" minutes")))
+          .when(s < 7200, lit("an hour"))
+          .otherwise(concat(str((s / 3600L).cast("long")), lit(" hours"))))
+      .when(years === 0,
+        when(days === 1, lit("a day"))
+          .when(months === 0, concat(str(days), lit(" days")))
+          .when(months === 1, lit("a month"))
+          .otherwise(concat(str(months), lit(" months"))))
+      .when(years === 1,
+        when(months === 0 && remDays === 0, lit("a year"))
+          .when(months === 0, concat(lit("1 year, "), str(remDays), lit(" days")))
+          .when(months === 1, lit("1 year, 1 month"))
+          .otherwise(concat(lit("1 year, "), str(months), lit(" months"))))
+      .otherwise(concat(str(years), lit(" years")))
+  }
 }

@@ -71,4 +71,35 @@ class StringFunctionsSpec extends SparkSuite {
       .where(SF.icontains($"v", "Smith")).as[String].collect().toSeq
     assert(got === Seq("Bob SMITH", "smithy"))
   }
+
+  test("naturaldate matches humanize branch-for-branch (booking.py:278)") {
+    def nd(v: String): String =
+      Seq(v).toDF("v").select(SF.naturalDate(to_date($"v"),
+        expr("date'2017-05-21'")).as("r")).as[String].head()
+    assert(nd("2017-05-21") === "today")
+    assert(nd("2017-05-22") === "tomorrow")
+    assert(nd("2017-05-20") === "yesterday")
+    assert(nd("2017-03-03") === "Mar 03")       // within a year: no year shown
+    assert(nd("2016-06-30") === "Jun 30")       // earlier YEAR but < 365 days
+    assert(nd("2016-03-03") === "Mar 03 2016")  // ≥ 365 days: year shown
+    assert(nd("2019-01-01") === "Jan 01 2019")  // future, ≥ 365 days
+  }
+
+  test("naturaldelta matches humanize branch-for-branch (pet.py:97-101)") {
+    val cases = Seq(
+      0L -> "a moment", 1L -> "a second", 30L -> "30 seconds",
+      90L -> "a minute", 300L -> "5 minutes", 4000L -> "an hour",
+      10000L -> "2 hours", -90L -> "a minute", // humanize abs()es
+      86400L -> "a day", 86400L * 17 -> "17 days",
+      86400L * 40 -> "a month", 86400L * 200 -> "6 months",
+      86400L * 365 -> "a year", 86400L * 385 -> "1 year, 20 days",
+      86400L * 405 -> "1 year, 1 month", 86400L * 565 -> "1 year, 6 months",
+      86400L * 800 -> "2 years")
+    val got = cases.map(_._1).toDF("v")
+      .select($"v", SF.naturalDelta($"v").as("r"))
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (secs, want) =>
+      assert(got(secs) === want, s"naturaldelta($secs)")
+    }
+  }
 }
