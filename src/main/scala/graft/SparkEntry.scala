@@ -603,6 +603,19 @@ object SparkEntry {
         .orderBy("invoice_id")
     }),
 
+    // The reference's DEFAULT customer queryset (customer.py:27-57 +
+    // :125-128): per-customer unpaid balance (with the ORM's join-fanout
+    // adjustment double-count replicated faithfully), distinct
+    // unpaid/overdue invoice counts, uninvoiced charge count.
+    "q_customer_balances" -> ((s, dir) => {
+      val tb = graft.fixtures.CrmFixtures.build(s)
+      graft.crm.CustomerLedger.customerBalances(tb.customers, tb.invoices,
+        tb.charges, graft.fixtures.CrmFixtures.FrozenTodaySql)
+        .withColumn("invoiced_unpaid",
+          col("invoiced_unpaid").cast("double"))
+        .orderBy("customer_id")
+    }),
+
     // F16: humanized dates/ages (humanize.naturaldate/naturaldelta,
     // booking.py:278 + pet.py:97-101) over orders with a frozen today
     // inside the data range — exercises today/tomorrow/yesterday, the
@@ -949,6 +962,56 @@ object SparkEntry {
              chr(10) || 'www.stretchtheirlegs.co.uk' AS body,
            CAST(total AS DOUBLE) AS total, due
          FROM r""",
+    // Default customer queryset re-derived: same VALUES fixture, same
+    // joined-row semantics (the adjustment fanout double-count included)
+    "q_customer_balances" ->
+      """WITH inv(id, customer_id, state, due, adjustment) AS (VALUES
+           (1, 1, 'unpaid', DATE '2017-05-20', CAST(0.00 AS DECIMAL(14,2))),
+           (2, 1, 'unpaid', DATE '2017-05-22', CAST(0.00 AS DECIMAL(14,2))),
+           (3, 1, 'paid',   DATE '2017-05-01', CAST(0.00 AS DECIMAL(14,2))),
+           (4, 2, 'paid',   DATE '2017-05-01', CAST(10.00 AS DECIMAL(14,2))),
+           (5, 1, 'bogus',  CAST(NULL AS DATE), CAST(0.00 AS DECIMAL(14,2))),
+           (6, 999, 'unpaid', DATE '2017-05-25', CAST(0.00 AS DECIMAL(14,2))),
+           (7, 1, 'draft',  CAST(NULL AS DATE), CAST(0.00 AS DECIMAL(14,2)))),
+         cust(id, name) AS (VALUES
+           (1, 'Bob Smith'), (2, 'Eve Jones&Co'),
+           (3, 'WRONG NAME'), (4, 'Cy Dale')),
+         chg(id, customer_id, invoice_id, line, quantity) AS (VALUES
+           (100, 1, NULL, CAST(20.00 AS DECIMAL(14,2)), 1),
+           (101, 1, NULL, CAST(50.00 AS DECIMAL(14,2)), 1),
+           (102, 1, NULL, CAST(-30.00 AS DECIMAL(14,2)), 1),
+           (103, 1, NULL, CAST(-30.00 AS DECIMAL(14,2)), 1),
+           (104, 1, NULL, CAST(40.00 AS DECIMAL(14,2)), 1),
+           (105, 1, NULL, CAST(-10.00 AS DECIMAL(14,2)), 1),
+           (106, 1, 1, CAST(5.00 AS DECIMAL(14,2)), 1),
+           (107, 1, 3, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (108, 1, 3, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (109, 1, 3, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (110, 2, 4, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (111, 2, 4, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (112, 2, 4, CAST(10.00 AS DECIMAL(14,2)), 1),
+           (113, 1, 1, CAST(15.00 AS DECIMAL(14,2)), 2)),
+         bal AS (
+           SELECT c.id AS customer_id, c.name,
+             CAST(coalesce(sum(i.adjustment), 0)
+               + coalesce(sum(ch.line * ch.quantity)
+                   FILTER (i.state = 'unpaid'), 0) AS DOUBLE)
+               AS invoiced_unpaid,
+             count(DISTINCT i.id) FILTER (i.state = 'unpaid')
+               AS unpaid_count,
+             count(DISTINCT i.id) FILTER (i.state = 'unpaid'
+               AND i.due IS NOT NULL AND i.due < DATE '2017-05-21')
+               AS overdue_count
+           FROM cust c
+           LEFT JOIN inv i ON i.customer_id = c.id
+           LEFT JOIN chg ch ON ch.invoice_id = i.id
+           GROUP BY 1, 2),
+         uninv AS (
+           SELECT customer_id, count(*) AS n FROM chg
+           WHERE invoice_id IS NULL GROUP BY 1)
+         SELECT b.customer_id, b.name, b.invoiced_unpaid, b.unpaid_count,
+           b.overdue_count, coalesce(u.n, 0) AS uninvoiced_count
+         FROM bal b LEFT JOIN uninv u ON u.customer_id = b.customer_id""",
     // F16 humanized dates — the humanize branch tree re-expressed as CASE
     "q_natural_dates" ->
       """WITH d AS (
