@@ -518,6 +518,15 @@ object SparkEntry {
     // the bucketed output EQUALS the DuckDB all-pairs oracle while the
     // operator only compares within matching buckets — the templated/
     // duplicate-embedding dedup scenario at its real cost shape.
+    // BOUND on the exactness claim: recall 1 additionally requires that no
+    // shared (table, bucket) exceeds maxBucketSize=2000 — the stop-band
+    // prunes whole buckets BEFORE pair generation. That holds here by
+    // construction (≤ ~6k vectors over 2^10 buckets ≈ 6/bucket) but is NOT
+    // scale-free: past ~2M uniformly-spread vectors, or on corpora where
+    // many embeddings collapse into one bucket, pruning kicks in and the
+    // output is a documented under-approximation (the cap exists precisely
+    // to keep degenerate buckets from going quadratic — see
+    // SimilaritySpec's degenerate-bucket test for the armed behavior).
     "q_cosine_neardups_bucketed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding"))
@@ -575,11 +584,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
-    // S9 read shape over the append-only event stream: opens per invoice +
-    // first/last-open timestamps (reference InvoiceOpen analytics,
-    // cerberus/models/invoice.py:330-337 + api.py:255-263 — "when was this
-    // invoice first opened, how many times"). Raw min/max timestamps are
-    // arithmetic-free → bit-identical across engines.
+    // S9 read shape over the append-only event stream: opens per ENTITY +
+    // first/last-open timestamps — the InvoiceOpen analytics shape
+    // (cerberus/models/invoice.py:330-337 + api.py:255-263, "when was this
+    // invoice first opened, how many times"). The events testdata has no
+    // invoice FK, so user_id stands in as the grouping entity: same
+    // count/min/max-per-key read-model, different key column — the
+    // per-invoice variant is this exact plan with the FK swapped in. Raw
+    // min/max timestamps are arithmetic-free → bit-identical across
+    // engines.
     "q_invoice_opens" -> ((s, dir) => {
       t(s, dir, "events")
         .where(col("event_type") === "view")
@@ -915,6 +928,9 @@ object SparkEntry {
     // fixture rows ride along as VALUES (same golden-coupling discipline
     // as q_crm_replay) and DuckDB recomputes the sendable set, charge
     // totals, due-defaulting, and the full template body.
+    // COUPLING: the inv/cust/chg VALUES mirror CrmFixtures.scala — edit
+    // both together (see the warning on CrmFixtures' scaladoc). Same for
+    // q_customer_balances below.
     "q_invoice_emails" ->
       """WITH inv(id, customer_id, state, due, adjustment) AS (VALUES
            (1, 1, 'unpaid', DATE '2017-05-20', CAST(0.00 AS DECIMAL(14,2))),

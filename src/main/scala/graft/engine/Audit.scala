@@ -92,7 +92,7 @@ object Audit {
       val uniqueRules = rules.collect { case r: graft.rules.Unique => r }
       val rowVios = ValidationEngine.rowPass(pending, rules, dims, cfg)
       val uniqVios = uniqueRules.map(r =>
-        Uniqueness.duplicateKeyViolations(df, r, cfg)) // full table
+        Uniqueness.duplicateKeyViolations(df, r)) // full table
       val violations = (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
       val profiles = StatsPass.profile(pending, cfg)
       val checked = profiles.groupBy(col("part"))

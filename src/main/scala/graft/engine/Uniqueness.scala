@@ -62,11 +62,9 @@ object Uniqueness {
     * [[verifiedViolations]] re-derives the real key values from the source
     * for candidate rows only.
     */
-  def duplicateKeyViolations(df: DataFrame, rule: Unique,
-      cfg: EngineConfig): DataFrame = {
+  def duplicateKeyViolations(df: DataFrame, rule: Unique): DataFrame = {
     // SQL unique-constraint semantics: NULLs never collide (NULL != NULL);
     // missing keys are the Required rule's business, not this one's.
-    // (cfg reserved for engine-level knobs; the pass itself is config-free)
     val hashed = df
       .where(rule.columns.map(col(_).isNotNull).reduce(_ && _))
       .select(keyHash(rule.columns).as("_kh"))
@@ -137,14 +135,4 @@ object Uniqueness {
         lit(rule.severity).as("severity"))
   }
 
-  /** Row-level variant: every row whose key is duplicated (reference raises
-    * per-row IntegrityError). Costs a second shuffle (semi-join back);
-    * prefer [[duplicateKeyViolations]] at scale.
-    */
-  def duplicateRows(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val dupKeys = df.groupBy(columns.map(col): _*)
-      .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
-      .select(columns.map(col): _*)
-    df.join(dupKeys, columns, "left_semi")
-  }
 }

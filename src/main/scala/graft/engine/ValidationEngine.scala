@@ -148,7 +148,7 @@ object ValidationEngine {
 
     val rowVios = rowPass(df, rules, dims, cfg)
     val uniqVios = uniqueRules.map(r =>
-      Uniqueness.duplicateKeyViolations(df, r, cfg))
+      Uniqueness.duplicateKeyViolations(df, r))
     val violations = (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
 
     val profiles = StatsPass.profile(df, cfg)
@@ -301,6 +301,16 @@ object ValidationEngine {
             .select(col("_key").as("_ukey"), col(s"_uh_$i").as("_kh"))
           Uniqueness.verifyCount(keyed.join(dups, Seq("_kh")), r)
         } else
+          // composite rules re-read the SOURCE (key columns only) for the
+          // exact verify — a deliberate trade-off against staging one
+          // `_ukey_$i` string per composite rule per row: the stage write
+          // is on every row's critical path, while this re-read is (a)
+          // column-pruned to the key columns (never the document bodies)
+          // and (b) only joined against the tiny dup-hash candidate set.
+          // Columnar sources make it a pruned scan; a row-oriented source
+          // (CSV/JSON) pays a second parse here, and THAT case should
+          // stage the key strings instead — revisit if such a source ever
+          // feeds composite uniqueness at scale.
           Uniqueness.verifiedViolations(df, r, dups)
       }
       val violationsOut = (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
@@ -377,7 +387,7 @@ object ValidationEngine {
 
     val rowVios = rowPass(df, rules, dims, cfg)
     val uniqVios = uniqueRules.map(r =>
-      Uniqueness.duplicateKeyViolations(df, r, cfg))
+      Uniqueness.duplicateKeyViolations(df, r))
     (Seq(rowVios) ++ uniqVios).reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$sinkDir/violations")
 

@@ -8,6 +8,14 @@ import java.sql.Timestamp
   * mirroring the reference's test corpus (`cerberus/tests/`), with planted
   * rows for every §5.3 error fixture. Frozen clock = 2017-05-21T00:00:00Z
   * (matching freezegun in tests/test_bookings.py:59).
+  *
+  * COUPLING: the customers/invoices/charges rows below are mirrored as
+  * VALUES literals inside `SparkEntry.oracleSql` (`q_invoice_emails`,
+  * `q_customer_balances` — DuckDB re-derives those read-models from the
+  * same inputs), and the expected VIOLATION rows live in the
+  * `CrmReplayGolden` literal (regenerate via `graft.tools
+  * .CrmGoldenPrinter`). Any edit here must be mirrored in all three or the
+  * driver's correctness rows go red while ScalaTest stays green.
   */
 object CrmFixtures {
 

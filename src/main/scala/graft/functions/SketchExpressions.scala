@@ -300,10 +300,18 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val k = centroids.length
+    // malformed embeddings (dim mismatch vs the trained centroids, or null
+    // elements) → NULL, mirroring DotProduct/zip_with semantics: such a row
+    // must not be confidently bucketed when the exact-cosine verify on the
+    // same row would return NULL (and the brute oracle would reject it)
+    if (k > 0 && n != centroids(0).length) return null
     val v = new Array[Double](n)
     var vv = 0.0
     var i = 0
-    while (i < n) { v(i) = arr.getDouble(i); vv += v(i) * v(i); i += 1 }
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      v(i) = arr.getDouble(i); vv += v(i) * v(i); i += 1
+    }
     val nv = math.sqrt(vv)
     // negated cosine per cell (so "smaller = nearer", matching the sort
     // order of the struct formulation this replaces)
@@ -311,10 +319,9 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     var c = 0
     while (c < k) {
       val cent = centroids(c)
-      val m = math.min(n, cent.length)
       var d = 0.0
       var j = 0
-      while (j < m) { d += v(j) * cent(j); j += 1 }
+      while (j < n) { d += v(j) * cent(j); j += 1 }
       val den = nv * centroidNorms(c)
       neg(c) = if (den == 0) -0.0 else -(d / den)
       c += 1

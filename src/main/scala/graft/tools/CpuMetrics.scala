@@ -31,14 +31,20 @@ final class CpuMetrics(sc: SparkContext) {
     * bytecode), reached via reflection; fixed sleep only as the fallback.
     */
   def settle(ms: Long = 1000L): Unit = {
+    val t0 = System.nanoTime()
     try {
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
       bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
         .invoke(bus, java.lang.Long.valueOf(ms))
     } catch {
-      case _: java.lang.reflect.InvocationTargetException => () // timed out
-        // after waiting the full budget — same guarantee as the old sleep
-      case _: Throwable => Thread.sleep(ms)
+      case _: Throwable =>
+        // waitUntilEmpty's own TimeoutException (wrapped in an ITE) means
+        // the full budget elapsed — nothing left to wait. Any FASTER
+        // failure (stopped bus, missing method, non-timeout ITE cause)
+        // must still cover the drain window with the old fixed sleep, or
+        // trailing TaskEnd events undercount cpu_sec.
+        val waitedMs = (System.nanoTime() - t0) / 1000000L
+        if (waitedMs < ms) Thread.sleep(ms - waitedMs)
     }
   }
 

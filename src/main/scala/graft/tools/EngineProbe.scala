@@ -51,7 +51,7 @@ object EngineProbe {
         Map("hosts" -> hosts), cfg).count())
     time("uniqueness only")(
       Uniqueness.duplicateKeyViolations(pages,
-        Unique("u", Seq("url")), cfg).count())
+        Unique("u", Seq("url"))).count())
     time("stats profile only")(StatsPass.profile(pages, cfg).count())
     time("histogram only")(
       StatsPass.histogram(pages, cfg, "length(text)", 25.0).count())

@@ -108,7 +108,7 @@ class PhysicalPlanSpec extends SparkSuite {
 
   test("uniqueness is partial+final hash aggregation (map-side combine splits hot keys)") {
     val vio = Uniqueness.duplicateKeyViolations(data.pages,
-      graft.rules.Unique("u", Seq("url")), cfg)
+      graft.rules.Unique("u", Seq("url")))
     val plan = planOf(vio)
     // one partial+final pair for counting, one for the exact verify — and
     // NOT the old salted double-aggregation (its second full exchange and
@@ -119,7 +119,7 @@ class PhysicalPlanSpec extends SparkSuite {
 
   test("uniqueness counting shuffles 8-byte key hashes, never the key strings") {
     val vio = Uniqueness.duplicateKeyViolations(data.pages,
-      graft.rules.Unique("u", Seq("url")), cfg)
+      graft.rules.Unique("u", Seq("url")))
     val plan = planOf(vio)
     // the counting exchanges partition on the xxhash64 of the key (_kh);
     // an exchange keyed on _ukey would ship full url strings at 10^12 rows

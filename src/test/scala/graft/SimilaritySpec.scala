@@ -72,6 +72,23 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("NearestCells refuses malformed embeddings (null elements / dim mismatch) like DotProduct") {
+    import graft.functions.SketchExpressions.nearestCells
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val rows: Seq[(Long, Seq[Option[Double]])] = Seq(
+      (1L, Seq(Some(1.0), Some(0.1), Some(0.0))),   // well-formed
+      (2L, Seq(Some(1.0), None, Some(0.0))),        // null element
+      (3L, Seq(Some(1.0), Some(0.0))))              // dim ≠ trained dim
+    val got = rows.toDF("id", "vec")
+      .select($"id", nearestCells($"vec".cast("array<double>"), cents, 1)
+        .as("cells"))
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(got(1L) === Some(Seq(0)))
+    // a row the exact-cosine verify would NULL out must not be bucketed
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+  }
+
   test("IVF assignment plan is O(1) in nLists (matrix rides in the expression, not the tree)") {
     // 600 vectors so even 256 lists train meaningfully
     val big = (0 until 600).map(i => (i.toLong, vec(i % 3, i)))

@@ -29,25 +29,44 @@ class SkewSpec extends SparkSuite {
     val cfg = EngineConfig("url", "date_format(warc_ts, 'yyyy-MM-dd')")
 
     val vio = Uniqueness.duplicateKeyViolations(df,
-      Unique("unique_url", Seq("url")), cfg)
-    val vios = vio.select("key", "message").as[(String, String)].collect()
+      Unique("unique_url", Seq("url")))
+    val sel = vio.select("key", "message")
+    val vios = sel.as[(String, String)].collect()
     assert(vios.length === 1)
     assert(vios.head._1 === "https://hot.example.com/p")
     assert(vios.head._2.endsWith(s"n=${(n + 2) / 3}"))
 
-    // the hot key really is pre-collapsed map-side: the counting phase is a
-    // partial+final HashAggregate pair over the 8-byte hash, so each map
-    // task ships ONE row for the hot key, not 100k
-    val plan = vio.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count") || plan.contains("partial count") ||
-      "HashAggregate".r.findAllIn(plan).size >= 4, plan.take(800))
+    // the hot key really is pre-collapsed map-side — measured at the DATA
+    // level via SQL metrics, not plan-string matching: every partial-mode
+    // HashAggregate must emit far fewer rows than the 300k input. With
+    // combine, the counting partial ships ~200k distinct hashes + one row
+    // per task for the hot key; defeated combine would ship all 300k
+    // (100k of them the hot key, all landing on one reducer).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val partialOut = allNodes(sel.queryExecution.executedPlan).collect {
+      case h: HashAggregateExec
+          if h.aggregateExpressions.exists(_.mode == Partial) =>
+        h.metrics("numOutputRows").value
+    }
+    assert(partialOut.nonEmpty, "no partial HashAggregate in the plan")
+    assert(partialOut.forall(_ <= 220000L),
+      s"map-side combine defeated: partial agg emitted $partialOut rows " +
+        s"from a 300k-row input (hot key not pre-collapsed)")
 
     // same verdict at any parallelism (1 vs many input partitions)
     val vios1 = Uniqueness.duplicateKeyViolations(df.coalesce(1),
-      Unique("unique_url", Seq("url")), cfg)
+      Unique("unique_url", Seq("url")))
       .select("key").as[String].collect().toSeq
     val vios16 = Uniqueness.duplicateKeyViolations(df.repartition(16),
-      Unique("unique_url", Seq("url")), cfg)
+      Unique("unique_url", Seq("url")))
       .select("key").as[String].collect().toSeq
     assert(vios1 === Seq("https://hot.example.com/p"))
     assert(vios16 === Seq("https://hot.example.com/p"))
