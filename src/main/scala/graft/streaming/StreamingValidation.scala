@@ -110,6 +110,29 @@ object StreamingValidation {
         })
   }
 
+  /** Streaming EXACT dedup at ingest (the training-pipeline front door):
+    * keep the first arrival of each content fingerprint, drop re-crawls /
+    * re-sends that arrive within the watermark horizon. State is ONE
+    * 8-byte xxhash64 key per distinct document — never the text — and
+    * `dropDuplicatesWithinWatermark` expires state once the watermark
+    * passes, so the state store is bounded by (arrival rate × lateness),
+    * not by corpus size. That bound is the whole design: UNBOUNDED global
+    * dedup over 10^12 keys stays in the daily batch job
+    * ([[graft.dedup.Dedup.exactDups]] / uniqueness), same
+    * division of labor as uniqueness vs `withinBatchUnique` above. A
+    * 64-bit fingerprint can collide at billions of in-horizon keys — at
+    * that rate a colliding pair within one watermark window drops a
+    * genuine document; acceptable at ingest (the batch pass re-derives
+    * exact keys), switch to a 128-bit fingerprint column if it isn't.
+    */
+  def dedupStream(stream: DataFrame, textCol: String, tsCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("_fp", xxhash64(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Watermarked windowed violation counts — the streaming verdict feed:
     * (window, rule_id) → violations, emitted once the watermark passes.
     * Late events beyond `lateness` are dropped, matching the batch job's

@@ -123,4 +123,29 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     assert(out === Set(("valid_type", 2L)))
   }
+
+  test("streaming dedup drops cross-batch re-crawls within the watermark, state stays 8-byte keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val deduped = StreamingValidation.dedupStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+      lateness = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdd").start()
+    // batch 1: two distinct docs + an in-batch duplicate of doc 1's text
+    stream.addData(Seq((1L, "alpha body", ts(1)), (2L, "beta body", ts(2)),
+      (3L, "alpha body", ts(3))))
+    q.processAllAvailable()
+    // batch 2: a CROSS-batch duplicate (state store catches it) + a new doc
+    stream.addData(Seq((4L, "beta body", ts(5)), (5L, "gamma body", ts(6))))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM sdd").as[Long].collect().toSet
+    q.stop()
+    assert(got === Set(1L, 2L, 5L), s"got $got")
+    // the dedup key must be the 8-byte fingerprint, not the text column:
+    // state-store rows carry a LongType key (bounded, content-free state)
+    val plan = deduped.queryExecution.analyzed.toString
+    assert(plan.contains("_fp"), plan.take(500))
+  }
 }
