@@ -94,6 +94,72 @@ object StringFunctions {
       .otherwise(date_format(d, "MMM dd"))
   }
 
+  /** F16: `humanize.precisedelta` (booking/service length display,
+    * `cerberus/templatetags/human_duration.py:19-20`, used with
+    * `minimum_unit="minutes"` in booking_list/service_detail): exact
+    * decomposition "1 year, 2 months, 3 days, 4 hours and 5 minutes" —
+    * units below `minimumUnit` fold into it as a fractional value rendered
+    * `%.2f` (humanize's default format) only when a fraction exists.
+    * Calendar approximation is humanize's own (365-day years, 30.5-day
+    * months, `%d` truncation of the fractional day remainder); components
+    * join with ", " and a final " and "; zero durations render as
+    * "0 <minimumUnit>". Negative durations are absolute-valued (the
+    * reference only feeds nonnegative lengths). Supported minimumUnit:
+    * "seconds" | "minutes" — the two the reference's templates use.
+    *
+    * Presentation-tier function: the final join uses one regexp_replace;
+    * everything stays codegen'd `when`/`concat` chains.
+    */
+  def preciseDelta(seconds: Column, minimumUnit: String = "minutes"): Column = {
+    require(minimumUnit == "seconds" || minimumUnit == "minutes",
+      s"unsupported minimum_unit: $minimumUnit")
+    val total = abs(seconds.cast("long"))
+    val days = (total / 86400L).cast("long")
+    val daySecs = total % 86400L
+    val years = (days / 365L).cast("long")
+    val remDays = days % 365L
+    val months = floor(remDays / 30.5).cast("long")
+    // humanize renders the (possibly fractional) day remainder with %d →
+    // truncation; remainder is nonnegative so floor == truncation
+    val showDays = floor(remDays.cast("double") - months.cast("double") * 30.5)
+      .cast("long")
+    val hours = (daySecs / 3600L).cast("long")
+    val hourSecs = daySecs % 3600L
+
+    def unitTxt(v: Column, name: String): Column =
+      when(v > 0, concat(v.cast("string"), lit(" " + name),
+        when(v === 1, lit("")).otherwise(lit("s"))))
+
+    // the minimum unit: fractional when the sub-unit remainder is nonzero,
+    // and always shown (as 0) when every other component is absent
+    val (minCol, minName) =
+      if (minimumUnit == "minutes") {
+        val mf = hourSecs.cast("double") / 60.0
+        val txt = when(hourSecs % 60L =!= 0,
+            concat(format_string("%.2f", mf), lit(" minutes")))
+          .when(mf === 1.0, lit("1 minute"))
+          .when(mf > 0, concat((hourSecs / 60L).cast("long").cast("string"),
+            lit(" minutes")))
+        (txt, "minutes")
+      } else {
+        val mins = (hourSecs / 60L).cast("long")
+        val secs = hourSecs % 60L
+        val minsTxt = unitTxt(mins, "minute")
+        val secsTxt = unitTxt(secs, "second")
+        (when(minsTxt.isNotNull && secsTxt.isNotNull,
+            concat(minsTxt, lit(", "), secsTxt))
+          .otherwise(coalesce(minsTxt, secsTxt)), "seconds")
+      }
+
+    val joined = concat_ws(", ",
+      unitTxt(years, "year"), unitTxt(months, "month"),
+      unitTxt(showDays, "day"), unitTxt(hours, "hour"), minCol)
+    val withAnd = regexp_replace(joined, ",(?=[^,]*+$)", " and")
+    when(seconds.isNull, lit(null.asInstanceOf[String]))
+      .when(joined === "", lit(s"0 $minName"))
+      .otherwise(withAnd)
+  }
+
   /** F16: `humanize.naturaldelta` (pet age, `cerberus/models/pet.py:97-101`)
     * over a duration in seconds — the library's full branch tree with
     * months enabled: "a moment", "N seconds", "a minute", "N minutes",

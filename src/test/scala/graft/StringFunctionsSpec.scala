@@ -85,6 +85,27 @@ class StringFunctionsSpec extends SparkSuite {
     assert(nd("2019-01-01") === "Jan 01 2019")  // future, ≥ 365 days
   }
 
+  test("precisedelta matches humanize (human_duration.py:19-20, min_unit minutes/seconds)") {
+    def pd(secs: Long, unit: String): String =
+      Seq(secs).toDF("v").select(SF.preciseDelta($"v", unit).as("r"))
+        .as[String].head()
+    // the reference's own call shape: service/booking lengths, minutes
+    assert(pd(1800L, "minutes") === "30 minutes")
+    assert(pd(3600L, "minutes") === "1 hour")
+    assert(pd(5400L, "minutes") === "1 hour and 30 minutes")
+    assert(pd(90L, "minutes") === "1.50 minutes")     // fractional fold-down
+    assert(pd(7245L, "minutes") === "2 hours and 0.75 minutes")
+    assert(pd(0L, "minutes") === "0 minutes")
+    // seconds granularity
+    assert(pd(90L, "seconds") === "1 minute and 30 seconds")
+    assert(pd(90061L, "seconds") === "1 day, 1 hour, 1 minute and 1 second")
+    assert(pd(0L, "seconds") === "0 seconds")
+    // calendar decomposition (365-day years, 30.5-day months, %d-truncated
+    // day remainder — humanize's own approximation)
+    assert(pd(365L * 86400, "seconds") === "1 year")
+    assert(pd(400L * 86400, "seconds") === "1 year, 1 month and 4 days")
+  }
+
   test("naturaldelta matches humanize branch-for-branch (pet.py:97-101)") {
     val cases = Seq(
       0L -> "a moment", 1L -> "a second", 30L -> "30 seconds",
