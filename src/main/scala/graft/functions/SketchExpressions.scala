@@ -285,6 +285,12 @@ case class DotProduct(left: Expression, right: Expression)
 case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     nProbe: Int) extends UnaryExpression with CodegenFallback {
 
+  // the dim guard in eval checks centroids(0) only; a ragged matrix would
+  // index out of bounds inside the dot loop — reject it at construction
+  require(centroids.forall(_.length == centroids.headOption
+      .map(_.length).getOrElse(0)),
+    "NearestCells requires equal-dimension centroids")
+
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def nullable: Boolean = true

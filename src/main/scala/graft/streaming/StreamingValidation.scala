@@ -34,7 +34,10 @@ object StreamingValidation {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val res = ValidationEngine.run(batch, rules, dims, cfg)
+        val effective =
+          if (withinBatchUnique) rules
+          else rules.filterNot(_.isInstanceOf[graft.rules.Unique])
+        val res = ValidationEngine.run(batch, effective, dims, cfg)
         res.violations
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(violationsSink)
@@ -118,20 +121,27 @@ object StreamingValidation {
     * passes, so the state store is bounded by (arrival rate × lateness),
     * not by corpus size. That bound is the whole design: UNBOUNDED global
     * dedup over 10^12 keys stays in the daily batch job
-    * ([[graft.dedup.Dedup.exactDups]] / uniqueness), same
-    * division of labor as uniqueness vs `withinBatchUnique` above. A
-    * 64-bit fingerprint can collide at billions of in-horizon keys — at
-    * that rate a colliding pair within one watermark window drops a
-    * genuine document; acceptable at ingest (the batch pass re-derives
-    * exact keys), switch to a 128-bit fingerprint column if it isn't.
+    * ([[graft.dedup.Dedup.exactDuplicates]] / uniqueness). NULL-text rows
+    * have no content to compare and pass through UNTOUCHED on a separate
+    * branch (same "NULLs never collide" discipline as batch uniqueness —
+    * xxhash64(NULL) would otherwise collapse every null-text document into
+    * one fingerprint). A 64-bit fingerprint can collide at billions of
+    * in-horizon keys — at that rate a colliding pair within one watermark
+    * window drops a genuine document; acceptable at ingest (the batch pass
+    * re-derives exact keys), switch to a 128-bit fingerprint column if it
+    * isn't.
     */
   def dedupStream(stream: DataFrame, textCol: String, tsCol: String,
-      lateness: String = "10 minutes"): DataFrame =
-    stream
+      lateness: String = "10 minutes"): DataFrame = {
+    require(!stream.columns.contains("_fp"),
+      "dedupStream reserves the _fp column name")
+    val wm = stream.withWatermark(tsCol, lateness)
+    val deduped = wm.where(col(textCol).isNotNull)
       .withColumn("_fp", xxhash64(col(textCol)))
-      .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+    deduped.unionByName(wm.where(col(textCol).isNull))
+  }
 
   /** Watermarked windowed violation counts — the streaming verdict feed:
     * (window, rule_id) → violations, emitted once the watermark passes.

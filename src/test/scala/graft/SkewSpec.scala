@@ -31,7 +31,9 @@ class SkewSpec extends SparkSuite {
     val vio = Uniqueness.duplicateKeyViolations(df,
       Unique("unique_url", Seq("url")))
     val sel = vio.select("key", "message")
-    val vios = sel.as[(String, String)].collect()
+    // collect from sel ITSELF: .as[...] would build a NEW QueryExecution,
+    // leaving sel.queryExecution's metrics (read below) never executed
+    val vios = sel.collect().map(r => (r.getString(0), r.getString(1)))
     assert(vios.length === 1)
     assert(vios.head._1 === "https://hot.example.com/p")
     assert(vios.head._2.endsWith(s"n=${(n + 2) / 3}"))
@@ -57,6 +59,10 @@ class SkewSpec extends SparkSuite {
         h.metrics("numOutputRows").value
     }
     assert(partialOut.nonEmpty, "no partial HashAggregate in the plan")
+    // guard against the vacuous-metrics failure mode: the counting partial
+    // must have actually emitted the ~200k distinct hashes
+    assert(partialOut.max >= 200000L,
+      s"metrics not populated (plan not executed?): $partialOut")
     assert(partialOut.forall(_ <= 220000L),
       s"map-side combine defeated: partial agg emitted $partialOut rows " +
         s"from a 300k-row input (hot key not pre-collapsed)")

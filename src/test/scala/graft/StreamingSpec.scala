@@ -133,19 +133,26 @@ class StreamingSpec extends SparkSuite {
       lateness = "10 minutes")
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("sdd").start()
-    // batch 1: two distinct docs + an in-batch duplicate of doc 1's text
+    // batch 1: two distinct docs, an in-batch duplicate of doc 1's text,
+    // and a null-text row (no content → must pass through)
     stream.addData(Seq((1L, "alpha body", ts(1)), (2L, "beta body", ts(2)),
-      (3L, "alpha body", ts(3))))
+      (3L, "alpha body", ts(3)), (6L, null, ts(4))))
     q.processAllAvailable()
-    // batch 2: a CROSS-batch duplicate (state store catches it) + a new doc
-    stream.addData(Seq((4L, "beta body", ts(5)), (5L, "gamma body", ts(6))))
+    // batch 2: a CROSS-batch duplicate (state store catches it), a new doc,
+    // and a SECOND null-text row — nulls never collide with each other
+    stream.addData(Seq((4L, "beta body", ts(5)), (5L, "gamma body", ts(6)),
+      (7L, null, ts(7))))
     q.processAllAvailable()
     val got = spark.sql("SELECT doc_id FROM sdd").as[Long].collect().toSet
     q.stop()
-    assert(got === Set(1L, 2L, 5L), s"got $got")
-    // the dedup key must be the 8-byte fingerprint, not the text column:
-    // state-store rows carry a LongType key (bounded, content-free state)
-    val plan = deduped.queryExecution.analyzed.toString
-    assert(plan.contains("_fp"), plan.take(500))
+    assert(got === Set(1L, 2L, 5L, 6L, 7L), s"got $got")
+    // the dedup operator must KEY on the 8-byte fingerprint, not the text
+    // column: state-store rows carry a LongType key (bounded, content-free
+    // state). Assert on the Deduplicate node's key list itself.
+    val dedupNode = deduped.queryExecution.analyzed.toString.split("\n")
+      .find(_.contains("Deduplicate"))
+    assert(dedupNode.nonEmpty, "no Deduplicate node in the plan")
+    assert(dedupNode.get.contains("_fp") && !dedupNode.get.contains("text"),
+      dedupNode.get)
   }
 }
