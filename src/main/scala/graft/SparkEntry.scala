@@ -637,15 +637,17 @@ object SparkEntry {
     // vocabulary with counts.
     "q_natural_dates" -> ((s, dir) => {
       val today = "date'1995-06-15'"
+      val secs = datediff(expr(today), col("o_orderdate")).cast("long") * 86400L
       t(s, dir, "orders")
         .select(
           graft.functions.StringFunctions
             .naturalDate(col("o_orderdate"), expr(today)).as("nat_date"),
+          graft.functions.StringFunctions.naturalDelta(secs).as("age"),
           graft.functions.StringFunctions
-            .naturalDelta(datediff(expr(today), col("o_orderdate"))
-              .cast("long") * 86400L).as("age"))
-        .groupBy("nat_date", "age").agg(count(lit(1)).as("n"))
-        .orderBy("nat_date", "age")
+            .preciseDelta(secs, "minutes").as("age_precise"))
+        .groupBy("nat_date", "age", "age_precise")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("nat_date", "age", "age_precise")
     }),
 
     // drift: per-source PSI/KS of n_chars distributions vs the first source
@@ -1058,9 +1060,29 @@ object SparkEntry {
                WHEN years = 1 AND months = 0 THEN '1 year, ' || rem || ' days'
                WHEN years = 1 AND months = 1 THEN '1 year, 1 month'
                WHEN years = 1 THEN '1 year, ' || months || ' months'
-               ELSE years || ' years' END AS age
-           FROM n)
-         SELECT nat_date, age, count(*) AS n FROM a GROUP BY 1, 2""",
+               ELSE years || ' years' END AS age,
+             -- precisedelta, min_unit=minutes: whole-day inputs have no
+             -- hour/minute remainder, so components are years/months/days;
+             -- dd is the %d-truncated fractional-month remainder
+             CAST(floor((rem - months * 30.5)) AS BIGINT) AS dd,
+             years, months, days
+           FROM n),
+         p AS (
+           SELECT nat_date, age,
+             concat_ws(', ',
+               CASE WHEN years = 1 THEN '1 year'
+                    WHEN years > 1 THEN years || ' years' END,
+               CASE WHEN months = 1 THEN '1 month'
+                    WHEN months > 1 THEN months || ' months' END,
+               CASE WHEN dd = 1 THEN '1 day'
+                    WHEN dd > 1 THEN dd || ' days' END) AS joined
+           FROM a)
+         SELECT nat_date, age,
+           CASE WHEN joined = '' THEN '0 minutes'
+                ELSE regexp_replace(joined, ',([^,]*)$', ' and\1') END
+             AS age_precise,
+           count(*) AS n
+         FROM p GROUP BY 1, 2, 3""",
     // exact all-pairs word-3-gram Jaccard — ground truth for the LSH paths
     // (see q_minhash_lsh comment for why recall is exactly 1 here)
     "q_minhash_lsh" ->
