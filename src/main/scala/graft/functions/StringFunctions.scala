@@ -94,6 +94,14 @@ object StringFunctions {
       .otherwise(date_format(d, "MMM dd"))
   }
 
+  /** F16-adjacent: `day_of_week` template filter
+    * (`cerberus/templatetags/date_utils.py:11-13`): Python
+    * `calendar.day_name[i]` — Monday-indexed weekday number → name.
+    */
+  def dayOfWeek(idx: Column): Column =
+    element_at(array(Seq("Monday", "Tuesday", "Wednesday", "Thursday",
+      "Friday", "Saturday", "Sunday").map(lit): _*), (idx % 7).cast("int") + 1)
+
   /** F16: `humanize.precisedelta` (booking/service length display,
     * `cerberus/templatetags/human_duration.py:19-20`, used with
     * `minimum_unit="minutes"` in booking_list/service_detail): exact

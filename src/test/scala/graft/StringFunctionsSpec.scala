@@ -85,6 +85,12 @@ class StringFunctionsSpec extends SparkSuite {
     assert(nd("2019-01-01") === "Jan 01 2019")  // future, ≥ 365 days
   }
 
+  test("day_of_week maps Monday-indexed ints like calendar.day_name (date_utils.py:11-13)") {
+    val got = Seq(0, 3, 6).toDF("v")
+      .select(SF.dayOfWeek($"v").as("r")).as[String].collect().toSeq
+    assert(got === Seq("Monday", "Thursday", "Sunday"))
+  }
+
   test("precisedelta matches humanize (human_duration.py:19-20, min_unit minutes/seconds)") {
     def pd(secs: Long, unit: String): String =
       Seq(secs).toDF("v").select(SF.preciseDelta($"v", unit).as("r"))
