@@ -638,15 +638,21 @@ object SparkEntry {
     "q_natural_dates" -> ((s, dir) => {
       val today = "date'1995-06-15'"
       val secs = datediff(expr(today), col("o_orderdate")).cast("long") * 86400L
+      // render AFTER collapsing to distinct dates: the humanized strings
+      // are functions of o_orderdate alone, so the (large) when-chains run
+      // over ~2.4k distinct dates instead of every order row — the same
+      // group-then-render shape a 10^12-row report job needs
       t(s, dir, "orders")
+        .groupBy(col("o_orderdate")).agg(count(lit(1)).as("_n"))
         .select(
           graft.functions.StringFunctions
             .naturalDate(col("o_orderdate"), expr(today)).as("nat_date"),
           graft.functions.StringFunctions.naturalDelta(secs).as("age"),
           graft.functions.StringFunctions
-            .preciseDelta(secs, "minutes").as("age_precise"))
+            .preciseDelta(secs, "minutes").as("age_precise"),
+          col("_n"))
         .groupBy("nat_date", "age", "age_precise")
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("_n")).cast("bigint").as("n"))
         .orderBy("nat_date", "age", "age_precise")
     }),
 

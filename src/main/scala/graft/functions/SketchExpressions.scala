@@ -277,6 +277,12 @@ case class DotProduct(left: Expression, right: Expression)
   * wants. Here plan size is O(1) in nLists and per-row work is one
   * k×dim loop + an O(k·nProbe) selection.
   *
+  * BOUND: the matrix rides in the serialized task closure — k×dim×8 bytes
+  * per task binary (e.g. 10^4 lists × 256 dims ≈ 20 MB: fine; 10^6 lists
+  * ≈ 2 GB: not). Past ~10^5 lists the real-IVF answer is hierarchical
+  * assignment (coarse NearestCells over √k super-cells, then a per-group
+  * fine pass), not a bigger closure.
+  *
   * Scoring is bit-compatible with the engine's cosine (same left-to-right
   * dot fold, same zero-denominator → 0 rule), so assignments are identical
   * to the expression-tree path it replaced — pinned by SimilaritySpec's
