@@ -584,6 +584,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // multimodal resize: the BATCHED per-partition image pass end-to-end —
+    // target geometry (aspect-preserving fit, never upscale) plus the
+    // stub byte transform's size law are pure arithmetic over the
+    // SQL-derivable media identity, so DuckDB re-derives every output row
+    // of the real mapPartitions dataflow
+    "q_multimodal_resize" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Multimodal.resizeImages(media, maxSide = 256)
+        .select(col("id"), col("ok"), col("width"), col("height"),
+          length(col("bytes")).as("n_bytes"))
+        .orderBy("id")
+    }),
+
+    // multimodal frame sampling: one frame per second of video duration —
+    // the explode(sequence(...)) plan a real decoder consumes
+    "q_frame_samples" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocs(
+        t(s, dir, "documents"))
+      graft.multimodal.Multimodal.sampleFrames(media, everyMs = 1000L)
+        .select(col("id"), col("frame_no"), col("ts_ms"))
+        .orderBy("id", "frame_no")
+    }),
+
     // S9 read shape over the append-only event stream: opens per ENTITY +
     // first/last-open timestamps — the InvoiceOpen analytics shape
     // (cerberus/models/invoice.py:330-337 + api.py:255-263, "when was this
@@ -932,6 +956,40 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_opens,
          min(ts) AS first_open, max(ts) AS last_open
          FROM events WHERE event_type = 'view' GROUP BY 1""",
+    // resize re-derivation: same double-precision fit arithmetic
+    // (floor(x+0.5) == Java Math.round for positives; trunc == .toInt)
+    "q_multimodal_resize" ->
+      """WITH m AS (
+           SELECT doc_id AS id, text,
+             CAST(doc_id * 7 % 1920 + 1 AS INT) AS w,
+             CAST(doc_id * 13 % 1080 + 1 AS INT) AS h,
+             octet_length(encode(text)) AS len
+           FROM documents WHERE doc_id % 3 = 0),
+         s AS (
+           SELECT id, text, w, h, len,
+             least(1.0, 256.0 / greatest(w, h)) AS scale
+           FROM m)
+         SELECT id,
+           text IS NOT NULL AS ok,
+           CAST(CASE WHEN text IS NULL THEN 0
+                ELSE greatest(1, CAST(floor(w * scale + 0.5) AS BIGINT)) END
+             AS INT) AS width,
+           CAST(CASE WHEN text IS NULL THEN 0
+                ELSE greatest(1, CAST(floor(h * scale + 0.5) AS BIGINT)) END
+             AS INT) AS height,
+           CAST(CASE WHEN text IS NULL THEN 0
+                ELSE greatest(1, least(len,
+                  CAST(trunc(len * scale * scale) AS BIGINT))) END
+             AS INT) AS n_bytes
+         FROM s""",
+    "q_frame_samples" ->
+      """SELECT doc_id AS id,
+         CAST(ts_ms // 1000 AS BIGINT) AS frame_no,
+         CAST(ts_ms AS BIGINT) AS ts_ms
+         FROM documents,
+           unnest(range(0, CAST(doc_id * 17 % 60000 + 1 AS BIGINT), 1000))
+             AS t(ts_ms)
+         WHERE doc_id % 3 = 2""",
     // S6 invoice e-mail render, independently RE-DERIVED in SQL: the CRM
     // fixture rows ride along as VALUES (same golden-coupling discipline
     // as q_crm_replay) and DuckDB recomputes the sendable set, charge
