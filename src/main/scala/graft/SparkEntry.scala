@@ -584,6 +584,34 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // F7/F9/F11/F12/F18 in one pass: every string helper applied to
+    // deterministic inputs built from customer columns, each output
+    // re-derived independently in DuckDB (RE2-compatible patterns; Spark
+    // rlike anchored ^…$ ≡ full match)
+    "q_string_functions" -> ((s, dir) => {
+      import graft.functions.{StringFunctions => SF}
+      val email = when(pmod(col("c_custkey"), lit(2)) === 0,
+        concat(lower(regexp_replace(col("c_name"), "#", "")),
+          lit("@pets.example"))).otherwise(col("c_name"))
+      val multi = concat(col("c_name"), lit("\n"), col("c_mktsegment"),
+        lit("\r\n tail"))
+      val titled = when(pmod(col("c_custkey"), lit(3)) === 0,
+          concat(lit("Dr. "), col("c_name")))
+        .when(pmod(col("c_custkey"), lit(3)) === 1,
+          concat(lit("Professor "), col("c_name")))
+        .otherwise(col("c_name"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        SF.emailValid(email).as("email_ok"),
+        SF.mailto(email).as("mailto"),
+        SF.truncate255(rpad(col("c_name"), 300, "x")).as("truncated"),
+        SF.unslug(regexp_replace(col("c_name"), "#", "_")).as("unslugged"),
+        SF.linebreakTo(multi, ", ").as("joined"),
+        SF.minimizeWhitespace(multi).as("minimized"),
+        SF.stripTitle(titled).as("stripped"))
+        .orderBy("c_custkey")
+    }),
+
     // multimodal resize: the BATCHED per-partition image pass end-to-end —
     // target geometry (aspect-preserving fit, never upscale) plus the
     // stub byte transform's size law are pure arithmetic over the
@@ -956,6 +984,33 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_opens,
          min(ts) AS first_open, max(ts) AS last_open
          FROM events WHERE event_type = 'view' GROUP BY 1""",
+    "q_string_functions" ->
+      """WITH i AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0
+               THEN lower(replace(c_name, '#', '')) || '@pets.example'
+               ELSE c_name END AS email,
+             c_name || chr(10) || c_mktsegment || chr(13) || chr(10) || ' tail'
+               AS multi,
+             CASE WHEN c_custkey % 3 = 0 THEN 'Dr. ' || c_name
+                  WHEN c_custkey % 3 = 1 THEN 'Professor ' || c_name
+                  ELSE c_name END AS titled,
+             c_name
+           FROM customer)
+         SELECT c_custkey,
+           regexp_matches(email, '^[^@\s]+@[^@\s]+\.[^@\s]+$') AS email_ok,
+           CASE WHEN regexp_matches(email, '^[^@\s]+@[^@\s]+\.[^@\s]+$')
+             THEN '<a href="mailto:' || email || '">' || email || '</a>'
+             ELSE email END AS mailto,
+           substring(rpad(c_name, 300, 'x'), 1, 255) AS truncated,
+           replace(replace(c_name, '#', '_'), '_', ' ') AS unslugged,
+           regexp_replace(multi, '\r\n|\r|\n', ', ', 'g') AS joined,
+           trim(regexp_replace(multi, '(?m)(^\s+|[\n\r]+)', '', 'g'))
+             AS minimized,
+           regexp_replace(titled,
+             '(?i)^(Sir|Madam|Mr|Mrs|Ms|Miss|Dr|Professor)\.?\s+', '')
+             AS stripped
+         FROM i""",
     // resize re-derivation: same double-precision fit arithmetic
     // (floor(x+0.5) == Java Math.round for positives; trunc == .toInt)
     "q_multimodal_resize" ->
