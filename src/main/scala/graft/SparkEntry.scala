@@ -584,6 +584,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // S3: primary-key point lookup (get(pk=…) / get_object_or_404) — the
+    // filter is pushed to the scan (PhysicalPlanSpec pins PushedFilters)
+    "q_point_lookup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .where(col("c_custkey") === 42L)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
     // F7/F9/F11/F12/F18 in one pass: every string helper applied to
     // deterministic inputs built from customer columns, each output
     // re-derived independently in DuckDB (RE2-compatible patterns; Spark
@@ -984,6 +992,9 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_opens,
          min(ts) AS first_open, max(ts) AS last_open
          FROM events WHERE event_type = 'view' GROUP BY 1""",
+    "q_point_lookup" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey = 42""",
     "q_string_functions" ->
       """WITH i AS (
            SELECT c_custkey,
