@@ -584,6 +584,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // S8 repair scan (fixcustomers): empty invoice_email + exactly one
+    // email-classified contact → the repair plan row
+    "q_repair_emails" -> ((s, dir) => {
+      val tb = graft.fixtures.CrmFixtures.build(s)
+      graft.crm.CrmRepairs.repairInvoiceEmails(tb.customers, tb.contacts)
+        .orderBy("customer_id")
+    }),
+
     // S3: primary-key point lookup (get(pk=…) / get_object_or_404) — the
     // filter is pushed to the scan (PhysicalPlanSpec pins PushedFilters)
     "q_point_lookup" -> ((s, dir) => {
@@ -995,6 +1003,26 @@ object SparkEntry {
     "q_point_lookup" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_custkey = 42""",
+    // fixcustomers re-derived: fixture rows as VALUES (see CrmFixtures
+    // COUPLING note), email classification via the same F6 regex
+    "q_repair_emails" ->
+      """WITH cust(id, name, invoice_email) AS (VALUES
+           (1, 'Bob Smith', 'bob@x.com'),
+           (2, 'Eve Jones&Co', ''),
+           (3, 'WRONG NAME', 'al@x.com'),
+           (4, 'Cy Dale', 'cy@x.com')),
+         con(id, name, details, customer_id) AS (VALUES
+           (1, 'Home', '01234 567890', 1),
+           (2, 'Home', '07123 456789', 1),
+           (3, 'Home', '01234 111222', 2),
+           (4, 'Mail', 'eve@x.com', 2)),
+         e AS (
+           SELECT customer_id, count(*) AS n, max(details) AS email
+           FROM con WHERE regexp_matches(details, '^[^@]+@[^@]+\.[^@]+')
+           GROUP BY 1)
+         SELECT c.id AS customer_id, c.name, e.email AS new_invoice_email
+         FROM cust c JOIN e ON e.customer_id = c.id AND e.n = 1
+         WHERE c.invoice_email = ''""",
     "q_string_functions" ->
       """WITH i AS (
            SELECT c_custkey,

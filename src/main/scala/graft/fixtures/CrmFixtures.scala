@@ -11,8 +11,8 @@ import java.sql.Timestamp
   *
   * COUPLING: the customers/invoices/charges rows below are mirrored as
   * VALUES literals inside `SparkEntry.oracleSql` (`q_invoice_emails`,
-  * `q_customer_balances` — DuckDB re-derives those read-models from the
-  * same inputs), and the expected VIOLATION rows live in the
+  * `q_customer_balances`, `q_repair_emails` — DuckDB re-derives those
+  * read-models from the same inputs), and the expected VIOLATION rows live in the
   * `CrmReplayGolden` literal (regenerate via `graft.tools
   * .CrmGoldenPrinter`). Any edit here must be mirrored in all three or the
   * driver's correctness rows go red while ScalaTest stays green.
@@ -57,11 +57,14 @@ object CrmFixtures {
     ).toDF("id", "name", "customer_id", "sex", "neutered",
       "social_media_concent")
 
-    // (id, name, details, customer_id) — duplicate (name, customer) → R5
+    // (id, name, details, customer_id) — duplicate (name, customer) → R5;
+    // contact 4 is customer 2's single EMAIL-type contact (fixcustomers
+    // repair scene: empty invoice_email + exactly one email contact)
     val contacts = Seq(
       (1L, "Home", "01234 567890", 1L),
       (2L, "Home", "07123 456789", 1L),           // dup (Home, 1)
-      (3L, "Home", "01234 111222", 2L)
+      (3L, "Home", "01234 111222", 2L),
+      (4L, "Mail", "eve@x.com", 2L)
     ).toDF("id", "name", "details", "customer_id")
 
     // (id, name, length_s, cost, cost_per_additional, max_pet, max_customer)

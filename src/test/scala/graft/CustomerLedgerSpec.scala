@@ -30,4 +30,15 @@ class CustomerLedgerSpec extends SparkSuite {
     assert(got(3L) === ((3L, "0.00", 0L, 0L, 0L)))
     assert(got(4L) === ((4L, "0.00", 0L, 0L, 0L)))
   }
+
+  test("fixcustomers repair: empty invoice_email + exactly one email contact") {
+    val t = CrmFixtures.build(spark)
+    val got = graft.crm.CrmRepairs
+      .repairInvoiceEmails(t.customers, t.contacts)
+      .as[(Long, String, String)].collect().toSeq
+    // only customer 2: invoice_email is '' and contact 4 is its single
+    // email-classified contact; phone contacts never qualify
+    // (set_as_invoice raises InvalidEmailError, contact.py:63-65)
+    assert(got === Seq((2L, "Eve Jones&Co", "eve@x.com")))
+  }
 }
