@@ -14,8 +14,9 @@ import java.sql.Timestamp
   * `q_customer_balances`, `q_repair_emails` — DuckDB re-derives those
   * read-models from the same inputs), and the expected VIOLATION rows live in the
   * `CrmReplayGolden` literal (regenerate via `graft.tools
-  * .CrmGoldenPrinter`). Any edit here must be mirrored in all three or the
-  * driver's correctness rows go red while ScalaTest stays green.
+  * .CrmGoldenPrinter`). Any edit here must be mirrored in ALL FOUR sites
+  * (the three oracle VALUES blocks + the golden) or the driver's
+  * correctness rows go red while ScalaTest stays green.
   */
 object CrmFixtures {
 
