@@ -554,6 +554,22 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // TWO-LEVEL IVF (the 10^6-list scale path: coarse closure + per-cell
+    // fine-matrix join, nothing larger than one cell's matrix in one
+    // place), again in its provably-exact probe-everything configuration
+    // so the brute-force SQL is an exact oracle while the full coarse→
+    // fine→inverted-file machinery executes. Approximate recall is pinned
+    // vs brute in SimilaritySpec.
+    "q_ann_ivf_hier" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.sim.Similarity.ivfTopKHierarchical(emb, queries,
+        "vec_id", "embedding", "q_id", "q_vec", k = 10,
+        nCoarse = 4, nFine = 3, nProbeCoarse = 4, nProbeFine = 3, iters = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     // text-quality profile: langId, quality score, token counts — all four
     // measures oracle-checked against a DuckDB re-derivation (regex counts
     // + the same fixed-order double arithmetic). The xxhash64 fingerprint
@@ -990,6 +1006,7 @@ object SparkEntry {
     "q_ann_brute" -> AnnBruteSql,
     "q_ann_lsh" -> AnnBruteSql,
     "q_ann_ivf" -> AnnBruteSql,
+    "q_ann_ivf_hier" -> AnnBruteSql,
     "q_multimodal_features" ->
       """SELECT doc_id AS id,
          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnShim
@@ -279,9 +279,11 @@ case class DotProduct(left: Expression, right: Expression)
   *
   * BOUND: the matrix rides in the serialized task closure — k×dim×8 bytes
   * per task binary (e.g. 10^4 lists × 256 dims ≈ 20 MB: fine; 10^6 lists
-  * ≈ 2 GB: not). Past ~10^5 lists the real-IVF answer is hierarchical
-  * assignment (coarse NearestCells over √k super-cells, then a per-group
-  * fine pass), not a bigger closure.
+  * ≈ 2 GB: not). Past ~10^5 lists use the HIERARCHICAL path
+  * ([[graft.sim.Similarity.ivfTopKHierarchical]]): coarse NearestCells
+  * over √k super-cells, then per-cell fine matrices joined as DATA and
+  * scored by [[NearestCellsDyn]] — nothing larger than one cell's matrix
+  * travels anywhere.
   *
   * Scoring is bit-compatible with the engine's cosine (same left-to-right
   * dot fold, same zero-denominator → 0 rule), so assignments are identical
@@ -369,6 +371,83 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     s"nearest_cells($child, k=${centroids.length}, nProbe=$nProbe)"
 }
 
+/** [[NearestCells]] with the centroid matrix as per-ROW data
+  * (`array<array<double>>`) instead of a constructor constant — the
+  * building block of HIERARCHICAL IVF assignment: past ~10^5 lists the
+  * full centroid set fits neither a plan nor a task closure, so fine
+  * centroids live in a TABLE keyed by coarse cell, rows join their own
+  * cell's (small) fine matrix, and this expression scores against the
+  * joined column. Same semantics as NearestCells otherwise: negated-cosine
+  * ordering, lowest-cell-id tie-break, NULL for malformed vectors, and
+  * additionally NULL when the matrix is null/empty/ragged/dim-mismatched
+  * (per-row data can't be constructor-validated).
+  */
+case class NearestCellsDyn(left: Expression, right: Expression,
+    nProbe: Int) extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(vecAny: Any, matAny: Any): Any = {
+    val arr = vecAny.asInstanceOf[ArrayData]
+    val mat = matAny.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = mat.numElements()
+    if (k == 0) return null
+    val v = new Array[Double](n)
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      v(i) = arr.getDouble(i); vv += v(i) * v(i); i += 1
+    }
+    val nv = math.sqrt(vv)
+    val neg = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      if (mat.isNullAt(c)) return null
+      val cent = mat.getArray(c)
+      if (cent.numElements() != n) return null // ragged / dim mismatch
+      var d = 0.0
+      var cc2 = 0.0
+      var j = 0
+      while (j < n) {
+        if (cent.isNullAt(j)) return null
+        val x = cent.getDouble(j)
+        d += v(j) * x; cc2 += x * x; j += 1
+      }
+      val den = nv * math.sqrt(cc2)
+      neg(c) = if (den == 0) -0.0 else -(d / den)
+      c += 1
+    }
+    val p = math.min(nProbe, k)
+    val chosen = new Array[Int](p)
+    val used = new Array[Boolean](k)
+    var sel = 0
+    while (sel < p) {
+      var best = -1
+      var bestScore = Double.PositiveInfinity
+      var cc = 0
+      while (cc < k) {
+        if (!used(cc) && (best < 0 || neg(cc) < bestScore)) {
+          best = cc; bestScore = neg(cc)
+        }
+        cc += 1
+      }
+      chosen(sel) = best
+      used(best) = true
+      sel += 1
+    }
+    new GenericArrayData(chosen)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "nearest_cells_dyn"
+}
+
 object SketchExpressions {
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     GraftColumnShim.column(
@@ -394,4 +473,9 @@ object SketchExpressions {
       nProbe: Int): Column =
     GraftColumnShim.column(NearestCells(
       GraftColumnShim.expression(vec), centroids, nProbe))
+
+  def nearestCellsDyn(vec: Column, matrix: Column, nProbe: Int): Column =
+    GraftColumnShim.column(NearestCellsDyn(
+      GraftColumnShim.expression(vec), GraftColumnShim.expression(matrix),
+      nProbe))
 }

@@ -189,6 +189,128 @@ object Similarity {
       .select("q_id", "id", "score", "rank")
   }
 
+  // --- Hierarchical (two-level) IVF ------------------------------------
+
+  /** Distributed per-cell fine-quantizer training for two-level IVF.
+    *
+    * Past ~10^5 lists the FULL centroid set fits neither a plan nor a task
+    * closure (k×dim×8 B — the bound documented on [[graft.functions
+    * .NearestCells]]), so real IVF at 10^6 lists goes hierarchical: a
+    * small coarse quantizer (closure-shipped, [[ivfTrain]]) splits the
+    * corpus into `nCoarse` cells, and each cell trains its OWN `nFine`
+    * centroids — here entirely as DataFrame aggregations over (cell,
+    * fineIdx, dim) keys, no per-cell driver loop and nothing larger than
+    * one cell's matrix ever materialized in one place. Effective list
+    * count = nCoarse × nFine with per-row state bounded by nFine×dim.
+    *
+    * Init: per cell, the `nFine` vectors with the smallest xxhash64(id)
+    * (hash-ordered window — no RNG, parallelism-invariant). Lloyd step:
+    * rows join their cell's fine matrix (a TABLE keyed by cell — shuffle
+    * or broadcast join, AQE's call) and [[graft.functions.NearestCellsDyn]]
+    * scores against the joined column; means recompute per (cell, fidx,
+    * dim). Empty fine cells keep their previous centroid.
+    *
+    * Returns (cell, fine_matrix: array<array<double>>) with matrices
+    * ordered by fine index.
+    */
+  def ivfTrainFine(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Double]], nFine: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val base = withNearestCells(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec")),
+      col("vec"), coarse, 1, "_cells")
+      .withColumn("cell", col("_cells").getItem(0)).drop("_cells")
+
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    var fine = base
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") <= nFine)
+      .select(col("cell"), (col("_r") - 1).cast("int").as("fidx"), col("vec"))
+
+    def matrices(centroids: DataFrame): DataFrame =
+      centroids.groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("fidx"), col("vec")))),
+          x => x.getField("vec")).as("fine_matrix"))
+
+    var i = 0
+    while (i < iters) {
+      val assigned = base.join(matrices(fine), Seq("cell"))
+        .withColumn("fidx", graft.functions.SketchExpressions
+          .nearestCellsDyn(col("vec"), col("fine_matrix"), 1).getItem(0))
+      val means = assigned
+        .select(col("cell"), col("fidx"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("fidx"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("fidx"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("_newvec"))
+      fine = fine.alias("f")
+        .join(means.alias("m"), Seq("cell", "fidx"), "left")
+        .select(col("cell"), col("fidx"),
+          coalesce(col("_newvec"), col("f.vec")).as("vec"))
+      i += 1
+    }
+    matrices(fine)
+  }
+
+  /** Two-level IVF top-k: coarse assignment is a map-side closure
+    * expression; fine assignment is a join against the per-cell matrix
+    * table + [[graft.functions.NearestCellsDyn]]; the global inverted file
+    * keys on `cell × nFine + fineIdx`. Probing fans a query out to
+    * `nProbeCoarse` coarse cells and `nProbeFine` fine cells within each.
+    * Probing everything (nProbeCoarse = nCoarse, nProbeFine = nFine)
+    * degenerates to exact brute force — pinned in SimilaritySpec.
+    */
+  def ivfTopKHierarchical(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, nCoarse: Int = 4, nFine: Int = 4,
+      nProbeCoarse: Int = 2, nProbeFine: Int = 2,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = ivfTrain(corpus, idCol, vecCol, nCoarse, iters)
+    val fineMat = ivfTrainFine(corpus, idCol, vecCol, coarse, nFine, iters)
+
+    val inverted = withNearestCells(
+        corpus.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("vec")),
+        col("vec"), coarse, 1, "_cells")
+      .withColumn("cell", col("_cells").getItem(0)).drop("_cells")
+      .join(fineMat, Seq("cell"))
+      .withColumn("fidx", graft.functions.SketchExpressions
+        .nearestCellsDyn(col("vec"), col("fine_matrix"), 1).getItem(0))
+      .select(col("id"), col("vec"),
+        (col("cell") * nFine + col("fidx")).as("gcell"))
+
+    val probes = withNearestCells(
+        queries.select(col(qIdCol).as("q_id"),
+          col(qVecCol).cast("array<double>").as("q_vec")),
+        col("q_vec"), coarse, nProbeCoarse, "_cells")
+      .select(col("q_id"), col("q_vec"), explode(col("_cells")).as("cell"))
+      .join(fineMat, Seq("cell"))
+      .withColumn("_f", graft.functions.SketchExpressions
+        .nearestCellsDyn(col("q_vec"), col("fine_matrix"), nProbeFine))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        explode(col("_f")).as("fidx"))
+      .select(col("q_id"), col("q_vec"),
+        (col("cell") * nFine + col("fidx")).as("gcell"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    // (q_id, gcell) pairs are distinct and each corpus row lives in ONE
+    // gcell, so the join emits each (q_id, id) at most once — no dedup agg
+    inverted.join(broadcast(probes), Seq("gcell"))
+      .select(col("q_id"), col("id"),
+        cosine(col("vec"), col("q_vec")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "score", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup flavour): SRP buckets,
     * exact cosine within bucket, threshold.
     *

@@ -72,6 +72,43 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("hierarchical IVF: probing everything equals brute force exactly") {
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      .select("q_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val all = Similarity.ivfTopKHierarchical(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5,
+      nCoarse = 3, nFine = 3, nProbeCoarse = 3, nProbeFine = 3, iters = 2)
+      .select("q_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(all === brute)
+    // and a selective probe still finds the query's own cluster
+    val sel = Similarity.ivfTopKHierarchical(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5,
+      nCoarse = 3, nFine = 2, nProbeCoarse = 2, nProbeFine = 2, iters = 2)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (bruteIds & sel).size.toDouble / bruteIds.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("hierarchical IVF fine training: one bounded matrix per coarse cell, partitioning-invariant verdicts") {
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      nLists = 3, iters = 2)
+    val fm = Similarity.ivfTrainFine(corpus, "vec_id", "embedding",
+      coarse, nFine = 2, iters = 2)
+      .select($"cell", size($"fine_matrix").as("k"))
+      .as[(Int, Int)].collect().toMap
+    assert(fm.keySet.subsetOf((0 until 3).toSet))
+    assert(fm.values.forall(k => k >= 1 && k <= 2), fm.toString)
+    // same neighbours regardless of input partitioning
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKHierarchical(df, queries,
+        "vec_id", "embedding", "q_id", "q_vec", k = 5,
+        nCoarse = 3, nFine = 3, nProbeCoarse = 3, nProbeFine = 3, iters = 2)
+        .select("q_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(run(corpus.coalesce(1)) === run(corpus.repartition(7)))
+  }
+
   test("NearestCells refuses malformed embeddings (null elements / dim mismatch) like DotProduct") {
     import graft.functions.SketchExpressions.nearestCells
     val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
