@@ -564,9 +564,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // iters=1: probe-all output is exact REGARDLESS of training quality
+      // (the candidate set is the whole corpus), so the driver entry keeps
+      // Lloyd passes minimal; training quality itself is SimilaritySpec's
+      // business (recall tests at selective probes)
       graft.sim.Similarity.ivfTopKHierarchical(emb, queries,
         "vec_id", "embedding", "q_id", "q_vec", k = 10,
-        nCoarse = 4, nFine = 3, nProbeCoarse = 4, nProbeFine = 3, iters = 2)
+        nCoarse = 4, nFine = 3, nProbeCoarse = 4, nProbeFine = 3, iters = 1)
         .orderBy("q_id", "rank")
     }),
 
