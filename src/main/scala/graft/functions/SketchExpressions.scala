@@ -340,27 +340,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       neg(c) = if (den == 0) -0.0 else -(d / den)
       c += 1
     }
-    // O(k·nProbe) partial selection; ascending scan keeps the LOWEST cell
-    // id on score ties (== lexicographic (negscore, cell) array_sort)
-    val p = math.min(nProbe, k)
-    val chosen = new Array[Int](p)
-    val used = new Array[Boolean](k)
-    var sel = 0
-    while (sel < p) {
-      var best = -1
-      var bestScore = Double.PositiveInfinity
-      var cc = 0
-      while (cc < k) {
-        if (!used(cc) && (best < 0 || neg(cc) < bestScore)) {
-          best = cc; bestScore = neg(cc)
-        }
-        cc += 1
-      }
-      chosen(sel) = best
-      used(best) = true
-      sel += 1
-    }
-    new GenericArrayData(chosen)
+    new GenericArrayData(NearestSelection.pick(neg, nProbe))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -421,6 +401,24 @@ case class NearestCellsDyn(left: Expression, right: Expression,
       neg(c) = if (den == 0) -0.0 else -(d / den)
       c += 1
     }
+    new GenericArrayData(NearestSelection.pick(neg, nProbe))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "nearest_cells_dyn"
+}
+
+/** Shared O(k·nProbe) selection for the two NearestCells variants — the
+  * tie-break (ascending scan keeps the LOWEST cell id on equal scores,
+  * == lexicographic (negscore, cell) array_sort) must stay bit-identical
+  * between them for the hierarchical-IVF oracle argument to hold, so it
+  * lives in exactly one place.
+  */
+private[functions] object NearestSelection {
+  def pick(neg: Array[Double], nProbe: Int): Array[Int] = {
+    val k = neg.length
     val p = math.min(nProbe, k)
     val chosen = new Array[Int](p)
     val used = new Array[Boolean](k)
@@ -439,13 +437,8 @@ case class NearestCellsDyn(left: Expression, right: Expression,
       used(best) = true
       sel += 1
     }
-    new GenericArrayData(chosen)
+    chosen
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-  override def prettyName: String = "nearest_cells_dyn"
 }
 
 object SketchExpressions {

@@ -28,7 +28,11 @@ object Similarity {
   }
 
   /** Exact top-k neighbours for each query row (queries small ⇒ broadcast;
-    * ties broken by id for determinism).
+    * ties broken by id for determinism). Corpus rows whose embedding is
+    * malformed (dim mismatch / null elements → NULL cosine) are EXCLUDED,
+    * never ranked — the same quarantine the bucketed paths apply at
+    * assignment time (NearestCells → NULL cell), so all four ANN paths
+    * agree on such rows.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
@@ -39,6 +43,7 @@ object Similarity {
       .crossJoin(broadcast(queries.select(col(qIdCol).as("q_id"),
         col(qVecCol).cast("array<double>").as("q_vec"))))
       .withColumn("score", cosine(col("vec"), col("q_vec")))
+      .where(col("score").isNotNull)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -204,7 +209,12 @@ object Similarity {
     * count = nCoarse × nFine with per-row state bounded by nFine×dim.
     *
     * Init: per cell, the `nFine` vectors with the smallest xxhash64(id)
-    * (hash-ordered window — no RNG, parallelism-invariant). Lloyd step:
+    * (hash-ordered window — no RNG; the INIT is parallelism-invariant,
+    * while Lloyd's avg() means merge floating-point partials in
+    * shuffle-arrival order, so trained centroids are deterministic only to
+    * float-merge-order — verdict-level quality is partitioning-robust,
+    * pinned in SimilaritySpec; each round is localCheckpoint-materialized
+    * so every consumer scores against ONE model). Lloyd step:
     * rows join their cell's fine matrix (a TABLE keyed by cell — shuffle
     * or broadcast join, AQE's call) and [[graft.functions.NearestCellsDyn]]
     * scores against the joined column; means recompute per (cell, fidx,
@@ -222,6 +232,9 @@ object Similarity {
         col(vecCol).cast("array<double>").as("vec")),
       col("vec"), coarse, 1, "_cells")
       .withColumn("cell", col("_cells").getItem(0)).drop("_cells")
+      // malformed embeddings (NearestCells → NULL) are quarantined from
+      // training, not ranked into a spurious NULL-cell matrix
+      .where(col("cell").isNotNull)
 
     val w = Window.partitionBy(col("cell"))
       .orderBy(xxhash64(col("id")), col("id"))
@@ -253,9 +266,16 @@ object Similarity {
         .join(means.alias("m"), Seq("cell", "fidx"), "left")
         .select(col("cell"), col("fidx"),
           coalesce(col("_newvec"), col("f.vec")).as("vec"))
+        // MATERIALIZE each Lloyd round: (a) the loop references `fine`
+        // twice per iteration, so an unmaterialized lineage doubles every
+        // round (~2^iters plans); (b) avg() over doubles merges shuffled
+        // partials in arrival order, so two EXECUTIONS of the same lazy
+        // plan can yield bit-different centroids — the inverted-file and
+        // probe sides must score against ONE model, not two recomputations
+        .localCheckpoint(true)
       i += 1
     }
-    matrices(fine)
+    matrices(fine).localCheckpoint(true)
   }
 
   /** Two-level IVF top-k: coarse assignment is a map-side closure

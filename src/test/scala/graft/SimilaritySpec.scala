@@ -91,7 +91,7 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
-  test("hierarchical IVF fine training: one bounded matrix per coarse cell, partitioning-invariant verdicts") {
+  test("hierarchical IVF fine training: one bounded matrix per coarse cell, selective-probe quality robust to partitioning") {
     val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding",
       nLists = 3, iters = 2)
     val fm = Similarity.ivfTrainFine(corpus, "vec_id", "embedding",
@@ -100,13 +100,24 @@ class SimilaritySpec extends SparkSuite {
       .as[(Int, Int)].collect().toMap
     assert(fm.keySet.subsetOf((0 until 3).toSet))
     assert(fm.values.forall(k => k >= 1 && k <= 2), fm.toString)
-    // same neighbours regardless of input partitioning
-    def run(df: org.apache.spark.sql.DataFrame) =
-      Similarity.ivfTopKHierarchical(df, queries,
+    // SELECTIVE probes at two partitionings: bit-level model determinism
+    // under repartitioning is NOT guaranteed (avg() merges float partials
+    // in shuffle-arrival order), so the honest invariant is verdict-level:
+    // each run must recover the query's cluster. (A probe-ALL comparison
+    // here would be vacuous — it equals brute force regardless of what
+    // the trainer produced.)
+    val bruteIds = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopKHierarchical(df, queries,
         "vec_id", "embedding", "q_id", "q_vec", k = 5,
-        nCoarse = 3, nFine = 3, nProbeCoarse = 3, nProbeFine = 3, iters = 2)
-        .select("q_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
-    assert(run(corpus.coalesce(1)) === run(corpus.repartition(7)))
+        nCoarse = 3, nFine = 2, nProbeCoarse = 2, nProbeFine = 2, iters = 2)
+        .select("q_id", "id").as[(Long, Long)].collect().toSet
+      (bruteIds & got).size.toDouble / bruteIds.size
+    }
+    assert(recall(corpus.coalesce(1)) >= 0.8)
+    assert(recall(corpus.repartition(7)) >= 0.8)
   }
 
   test("NearestCells refuses malformed embeddings (null elements / dim mismatch) like DotProduct") {
