@@ -261,6 +261,18 @@ object CrmChecks {
       lit("slot has no bookings"), severity = "warn")
   }
 
+  /** R18 write-path companion (`management/commands/clean_slots.py`): the
+    * reference tries to delete EVERY slot and suppresses ProtectedError,
+    * keeping exactly the slots some booking still references. Batch form:
+    * one semi-join — the retained table to overwrite with. (The
+    * warn-severity detection side is [[orphanSlots]].)
+    */
+  def gcOrphanSlots(slots: DataFrame, bookings: DataFrame): DataFrame = {
+    val used = bookings.where(col("booking_slot_id").isNotNull)
+      .select(col("booking_slot_id").as("id"))
+    slots.join(used, Seq("id"), "left_semi")
+  }
+
   /** Overdue predicate — must equal the reference's annotation AND its
     * Python property (`invoice.py:45` vs `:130-132`): unpaid ∧ due < today.
     */

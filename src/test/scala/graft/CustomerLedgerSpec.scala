@@ -31,6 +31,16 @@ class CustomerLedgerSpec extends SparkSuite {
     assert(got(4L) === ((4L, "0.00", 0L, 0L, 0L)))
   }
 
+  test("clean_slots GC keeps exactly the booking-protected slots") {
+    val t = CrmFixtures.build(spark)
+    val kept = graft.crm.CrmChecks.gcOrphanSlots(t.bookingSlots, t.bookings)
+      .select($"id").as[Long].collect().toSet
+    // orphans 2, 3, 13 (the orphan_slot warn rows in the replay golden)
+    // are dropped; every referenced slot survives
+    val all = t.bookingSlots.select($"id").as[Long].collect().toSet
+    assert(kept === all -- Set(2L, 3L, 13L), kept.toString)
+  }
+
   test("fixcustomers repair: empty invoice_email + exactly one email contact") {
     val t = CrmFixtures.build(spark)
     val got = graft.crm.CrmRepairs
