@@ -59,7 +59,7 @@ object Uniqueness {
     * url-sized strings (the narrow-row scaling bottleneck round 2
     * localized). Because a 64-bit hash CAN collide (the birthday bound
     * bites at billions of keys), hash-duplicates are only CANDIDATES:
-    * [[verifiedViolations]] re-derives the real key values from the source
+    * the verify pass re-derives the real key values from the source
     * for candidate rows only.
     */
   def duplicateKeyViolations(df: DataFrame, rule: Unique): DataFrame = {

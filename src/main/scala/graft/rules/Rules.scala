@@ -2,7 +2,8 @@ package graft.rules
 
 /** Rules are data (SURVEY.md §7 pillar 1).
   *
-  * A sealed ADT for type-safe construction, plus a flat [[RuleRow]]
+  * A sealed ADT for type-safe construction, plus a flat
+  * [[ValidationRule.RuleRow]]
   * representation so a catalog can live in a `Dataset[RuleRow]` / parquet
   * table and round-trip losslessly. Each rule species is grounded in a
   * constraint the reference actually enforces (SURVEY.md §2.10):

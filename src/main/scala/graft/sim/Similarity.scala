@@ -106,7 +106,7 @@ object Similarity {
     * DataFrame aggregations. Init = the `nLists` vectors with the smallest
     * xxhash64(id) (hash-ordered, no RNG — identical across runs and
     * parallelism). Each iteration: assign every vector to its nearest
-    * centroid via [[nearestCellsExpr]] (pure map-side expression — the
+    * centroid via the `NearestCells` expression (pure map-side — the
     * centroids are literals, the classic broadcast-the-model shape),
     * recompute centroids as the per-cell elementwise mean (posexplode →
     * groupBy(cell, dim) avg — the shuffle carries k×dim partials only).

@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-/** Bridge between Catalyst [[Expression]]s and the public [[Column]] API.
+/** Bridge between Catalyst `Expression`s and the public `Column` API.
   *
   * Spark 4 moved Column onto ColumnNode and made the converter
   * (`org.apache.spark.sql.classic.ExpressionUtils`) private[sql]; this shim
