@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` uses per-partition RNG: the selected set changes with
+  * partitioning, retries, and Spark version — useless for reproducible
+  * corpus construction or for the "train the quantizer on 0.1%" idiom
+  * ([[graft.sim.Similarity.ivfTrain]]'s scale note). These samplers decide
+  * membership from xxhash64 of the ROW KEY alone, so the same row is
+  * in or out regardless of parallelism, ordering, retries, or how many
+  * times the job runs — and a rerun at a larger rate is a SUPERSET of the
+  * smaller one (hash < t₁ ⊂ hash < t₂), which makes growing a training
+  * set monotonic instead of a reshuffle.
+  */
+object Sampling {
+
+  /** hash(key, seed) mapped to [0, 1) — the membership coordinate. */
+  private def coord(keyCol: Column, seed: Long): Column =
+    (pmod(xxhash64(keyCol, lit(seed)), lit(1000000000L)).cast("double")
+      / 1000000000.0)
+
+  /** Keep ~`rate` of rows, decided per key hash. Deterministic, exact
+    * per-row membership; the realized fraction concentrates around `rate`
+    * (binomial over distinct keys). Equal keys sample together — usually
+    * what a dedup-aware pipeline wants (a re-crawled url is in or out as
+    * a unit).
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double,
+      seed: Long = 42L): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate")
+    df.where(coord(col(keyCol), seed) < rate)
+  }
+
+  /** Per-stratum rates (`sampleBy` without its RNG): rows in strata absent
+    * from `rates` are dropped, like Spark's own `sampleBy`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), rates.toString)
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.where(coord(col(keyCol), seed) < rateCol)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Sampling
+
+/** Deterministic sampling: same selected SET across partitionings and
+  * reruns, monotone under rate growth, per-stratum rates honoured.
+  */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.range(20000)
+    .select($"id", concat(lit("doc"), $"id").as("key"),
+      element_at(array(lit("en"), lit("de"), lit("fr")),
+        (pmod($"id", lit(3)) + 1).cast("int")).as("lang"))
+
+  test("membership is a pure function of the key: partitioning/rerun invariant, supersets monotone") {
+    def ids(df: org.apache.spark.sql.DataFrame, rate: Double): Set[Long] =
+      Sampling.deterministicSample(df, "key", rate)
+        .select($"id").as[Long].collect().toSet
+    val a = ids(docs.coalesce(1), 0.1)
+    val b = ids(docs.repartition(13), 0.1)
+    assert(a === b)
+    // realized fraction near the target (20k keys → tight binomial)
+    assert(math.abs(a.size / 20000.0 - 0.1) < 0.02, a.size.toString)
+    // growing the rate only ADDS rows — monotone training-set growth
+    val bigger = ids(docs, 0.3)
+    assert(a.subsetOf(bigger))
+    // a different seed is a different (but equally deterministic) set
+    val other = Sampling.deterministicSample(docs, "key", 0.1, seed = 7L)
+      .select($"id").as[Long].collect().toSet
+    assert(other !== a)
+    assert(math.abs(other.size / 20000.0 - 0.1) < 0.02)
+  }
+
+  test("stratified rates per language; unlisted strata drop like sampleBy") {
+    val got = Sampling.stratifiedSample(docs, "key", "lang",
+        Map("en" -> 0.5, "de" -> 0.05))
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(!got.contains("fr"))
+    assert(math.abs(got("en") / 6667.0 - 0.5) < 0.05, got.toString)
+    assert(math.abs(got("de") / 6667.0 - 0.05) < 0.02, got.toString)
+  }
+}
