@@ -45,4 +45,22 @@ object Sampling {
     }
     df.where(coord(col(keyCol), seed) < rateCol)
   }
+
+  /** Deterministic global shuffle — training corpora are shuffled before
+    * sharding, and the shuffle must replay identically: order by the key
+    * hash (ties by key, so equal-hash rows still order totally). A range
+    * sort, so it scales like any global orderBy.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+      seed: Long = 42L): DataFrame =
+    df.orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol))
+
+  /** Stable shard assignment: `shard = hash(key, seed) mod n`. A row keeps
+    * its shard across reruns and cluster sizes — write with
+    * `.write.partitionBy(shardCol)` for n reproducible training shards.
+    */
+  def shardColumn(keyCol: Column, nShards: Int, seed: Long = 42L): Column = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    pmod(xxhash64(keyCol, lit(seed)), lit(nShards.toLong)).cast("int")
+  }
 }

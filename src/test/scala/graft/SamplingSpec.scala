@@ -33,6 +33,27 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(other.size / 20000.0 - 0.1) < 0.02)
   }
 
+  test("deterministic shuffle replays identically; shards are stable and balanced") {
+    val order1 = Sampling.deterministicShuffle(docs.repartition(5), "key")
+      .select($"id").as[Long].collect().toSeq
+    val order2 = Sampling.deterministicShuffle(docs.coalesce(1), "key")
+      .select($"id").as[Long].collect().toSeq
+    assert(order1 === order2)
+    assert(order1 !== order1.sorted, "hash order should not be id order")
+    // shard assignment: invariant to partitioning, near-uniform
+    val shards = docs.select($"id",
+      Sampling.shardColumn($"key", 8).as("shard"))
+    val byShard = shards.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(byShard.keySet === (0 until 8).toSet)
+    assert(byShard.values.forall(n => n > 2000 && n < 3000), byShard.toString)
+    val again = docs.repartition(11).select($"id",
+      Sampling.shardColumn($"key", 8).as("shard"))
+      .as[(Long, Int)].collect().toMap
+    val first = shards.as[(Long, Int)].collect().toMap
+    assert(first === again)
+  }
+
   test("stratified rates per language; unlisted strata drop like sampleBy") {
     val got = Sampling.stratifiedSample(docs, "key", "lang",
         Map("en" -> 0.5, "de" -> 0.05))
