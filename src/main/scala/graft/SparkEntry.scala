@@ -452,6 +452,21 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // Decontamination: cross-corpus (train × eval) near-dup pairs. The
+    // eval side is a deterministic slice of the corpus (doc_id % 17 = 0),
+    // so every eval doc has a VERBATIM training copy (itself — all bands
+    // match, recall exactly 1) and the planted near-dup families cross the
+    // boundary at j ≥ 0.9 (band recall 1 − ~1e-12, same math as
+    // q_minhash_lsh) — the LSH output EQUALS the exact cross-pair set and
+    // DuckDB's exact cross Jaccard is the oracle.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ev = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+      graft.dedup.Dedup.crossCorpusNearDups(docs, ev, "doc_id", "text",
+        threshold = 0.35, numHashes = 64, bands = 21, maxBucketSize = 200)
+        .orderBy("t_id", "e_id")
+    }),
+
     // SimHash near-dup pairs (hamming ≤ 7 over 64-bit sketches; pigeonhole
     // bands give EXACT recall for the hamming predicate). Oracle: on this
     // corpus the simhash pair set equals the exact 3-gram-Jaccard near-dup
@@ -1278,6 +1293,23 @@ object SparkEntry {
              len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT a_id, b_id, i * 1.0 / u AS jaccard
+         FROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.35""",
+    // exact cross-corpus 3-gram Jaccard (train = all docs, eval = the
+    // doc_id % 17 slice) — ground truth for the decontamination pairs
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+               FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+           FROM toks),
+         pairs AS (SELECT a.doc_id AS t_id, b.doc_id AS e_id,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+           FROM sh a JOIN sh b ON b.doc_id % 17 = 0)
+         SELECT t_id, e_id, i * 1.0 / u AS jaccard
          FROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.35""",
     "q_pages_validate" ->
       """WITH p AS (

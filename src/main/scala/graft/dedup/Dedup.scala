@@ -144,6 +144,74 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Decontamination, pair form: near-duplicate (train, eval) pairs ACROSS
+    * two corpora — the train-set-contamination check every eval pipeline
+    * needs. Same Broder pipeline as [[minHashNearDups]] but the banded
+    * equi-join runs train-buckets × eval-buckets (never train × train, so
+    * a 10^12-row corpus against a 10^5-row eval set costs eval-sized
+    * work per bucket), the stop-band cap applies to COMBINED bucket
+    * occupancy, and the exact-Jaccard verify reads each side's own text.
+    * Identical ids on both sides are legitimate hits (an eval doc copied
+    * verbatim into training shares every band → recall exactly 1 on exact
+    * copies).
+    */
+  def crossCorpusNearDups(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3,
+      maxBucketSize: Int = 500): DataFrame = {
+    def banded(df: DataFrame, side: String): DataFrame =
+      withMinHash(df, textCol, numHashes, k).select(
+        col(idCol).as(s"${side}_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(slice(col("minhash"),
+              b * (size(col("minhash")) / bands) + 1,
+              size(col("minhash")) / bands)).as("bh")))).as("bb"))
+        .select(col(s"${side}_id"), col("bb.band").as("band"),
+          col("bb.bh").as("bh"))
+    val tb = banded(train, "t")
+    val eb = banded(eval, "e")
+    val oversized = tb.select(col("band"), col("bh"))
+      .unionAll(eb.select(col("band"), col("bh")))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
+      .select("band", "bh")
+    val cands = tb.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+      .join(eb.join(broadcast(oversized), Seq("band", "bh"), "left_anti"),
+        Seq("band", "bh"))
+      .select(col("t_id"), col("e_id")).distinct()
+
+    def shingled(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"),
+        graft.functions.SketchExpressions
+          .wordShingleHashes(coalesce(col(textCol), lit("")), k)
+          .as(s"${side}_sh"))
+    cands
+      .join(shingled(train, "t"), Seq("t_id"))
+      .join(shingled(eval, "e"), Seq("e_id"))
+      .withColumn("inter", size(array_intersect(col("t_sh"), col("e_sh"))))
+      .withColumn("uni", size(array_union(col("t_sh"), col("e_sh"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .where(col("jaccard") >= threshold)
+      .select("t_id", "e_id", "jaccard")
+  }
+
+  /** Decontamination, filter form: the training corpus with every row that
+    * near-duplicates ANY eval document removed (one anti-join on the
+    * flagged train ids — the tiny side).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3,
+      maxBucketSize: Int = 500): DataFrame = {
+    val contaminated = crossCorpusNearDups(train, eval, idCol, textCol,
+      threshold, numHashes, bands, k, maxBucketSize)
+      .select(col("t_id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over ALL pairs (quadratic — small inputs or
     * post-bucket use only; the scale path is [[minHashNearDups]]).
     */

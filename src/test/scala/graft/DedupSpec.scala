@@ -73,6 +73,24 @@ class DedupSpec extends SparkSuite {
     assert(diff.isEmpty, diff.collect().mkString(","))
   }
 
+  test("decontamination: eval near-dups flagged across corpora, filter form removes exactly them") {
+    // eval set: doc 2's text verbatim (new id) + an unrelated holdout doc
+    val eval = Seq(
+      (100L, "the quick  brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "unique evaluation question about photosynthesis in deep sea algae")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(docs, eval, "doc_id", "text",
+      threshold = 0.5, numHashes = 64, bands = 16)
+      .select($"t_id", $"e_id").as[(Long, Long)].collect().toSet
+    // docs 1 (whitespace-identical shingles), 2 (verbatim) and 3 (one
+    // token of 14 differs → j = 11/13 ≈ 0.85) all hit eval 100; nothing
+    // touches the holdout question
+    assert(pairs === Set((1L, 100L), (2L, 100L), (3L, 100L)), pairs.toString)
+    val clean = Dedup.decontaminate(docs, eval, "doc_id", "text",
+      threshold = 0.5).select($"doc_id").as[Long].collect().toSet
+    assert(clean === Set(4L, 5L, 6L))
+  }
+
   test("simhash: identical → distance 0; near-dups within small hamming; found by banding") {
     val sigs = Dedup.withSimHash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
