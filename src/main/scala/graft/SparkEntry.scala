@@ -452,6 +452,30 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // URL canonicalization + PII scrub over deterministically-messied
+    // inputs built from the documents table — the web-dedup prerequisite
+    // (canonical url BEFORE uniqueness) and the corpus-scale anonymise
+    // concern, both re-derived step-for-step in DuckDB (RE2-safe regexes
+    // by construction).
+    "q_url_canon" -> ((s, dir) => {
+      import graft.text.{TextFunctions => TF}
+      val messy = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("HTTPS://"), upper(col("source")),
+          lit(".Example.COM:443/doc/"), col("doc_id"), lit("/")))
+        .otherwise(concat(lit("HTTP://"), upper(col("source")),
+          lit(".Example.COM:80/doc/"), col("doc_id"),
+          lit("/?utm_source=x&id="), pmod(col("doc_id"), lit(7)),
+          lit("&utm_campaign=y#frag")))
+      val raw = concat(lit("contact "), lower(col("source")),
+        lit("@example.com or +44 1234 567890 re: "),
+        substring(col("text"), 1, 40))
+      t(s, dir, "documents").select(
+        col("doc_id"), messy.as("url"),
+        TF.canonicalUrl(messy).as("canonical"),
+        TF.maskPii(raw).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // Decontamination: cross-corpus (train × eval) near-dup pairs. The
     // eval side is a deterministic slice of the corpus (doc_id % 17 = 0),
     // so every eval doc has a VERBATIM training copy (itself — all bands
@@ -1294,6 +1318,47 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT a_id, b_id, i * 1.0 / u AS jaccard
          FROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.35""",
+    // canonical-url + PII-mask chains re-derived step-for-step (DuckDB
+    // regexp_replace needs the explicit 'g' flag where Spark is global)
+    "q_url_canon" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'HTTPS://' || upper(source) || '.Example.COM:443/doc/'
+                    || doc_id || '/'
+               ELSE 'HTTP://' || upper(source) || '.Example.COM:80/doc/'
+                    || doc_id || '/?utm_source=x&id=' || (doc_id % 7)
+                    || '&utm_campaign=y#frag' END AS url,
+             'contact ' || lower(source)
+               || '@example.com or +44 1234 567890 re: '
+               || substring(text, 1, 40) AS raw
+           FROM documents),
+         c AS (
+           SELECT doc_id, url, raw,
+             lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1))
+               || regexp_replace(url, '^[^/?#]*//[^/?#]*', '') AS u0
+           FROM m),
+         c2 AS (SELECT doc_id, url, raw,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(u0, '#.*$', ''),
+                 '(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?', '', 'g'),
+               '[?&]$', '') AS u1
+           FROM c),
+         c3 AS (SELECT doc_id, url, raw,
+             regexp_replace(
+               regexp_replace(u1,
+                 '^(https?://[^/:?#]+):(80|443)([/?#]|$)', '\1\3'),
+               '(//[^/]+(/.*[^/]))/$', '\1') AS canonical
+           FROM c2)
+         SELECT doc_id, url, canonical,
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '(\+[0-9]{1,3}[ -]?)?(\(0\)[ -]?)?([0-9][ -]?){9,12}[0-9]',
+             '<PHONE>', 'g') AS scrubbed
+         FROM c3""",
     // exact cross-corpus 3-gram Jaccard (train = all docs, eval = the
     // doc_id % 17 slice) — ground truth for the decontamination pairs
     "q_decontaminate" ->

@@ -105,6 +105,48 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     xxhash64(regexp_replace(lower(trim(coalesce(c, lit("")))), "\\s+", " "))
 
+  /** Canonical URL for web dedup — the normalization that runs BEFORE url
+    * uniqueness so re-crawls of the same page collide. Purely syntactic
+    * (RE2-safe regexes so an oracle can re-derive it): lowercase
+    * scheme+host, drop the fragment, drop tracking query params
+    * (utm_* / gclid / fbclid — and the `?`/dangling `&` they leave
+    * behind), drop default ports, trim a single trailing slash from
+    * non-root paths. Null-safe (null passes through).
+    */
+  def canonicalUrl(c: Column): Column = {
+    // lowercase ONLY the scheme://host[:port] prefix, never path or query
+    val lowered = concat(
+      lower(regexp_extract(c, "^([^/?#]*//[^/?#]*)", 1)),
+      regexp_replace(c, "^[^/?#]*//[^/?#]*", ""))
+    val noFragment = regexp_replace(lowered, "#.*$", "")
+    val noTracking = regexp_replace(noFragment,
+      "(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?", "")
+    val noDanglingSep = regexp_replace(noTracking, "[?&]$", "")
+    val noDefaultPort = regexp_replace(noDanglingSep,
+      "^(https?://[^/:?#]+):(80|443)([/?#]|$)", "$1$3")
+    // trim ONE trailing slash, but never the root path's: a literal '/'
+    // must separate the authority from the trimmed segment (a pattern a
+    // backtracking [^/]+ authority cannot satisfy on root URLs)
+    when(c.isNull, lit(null.asInstanceOf[String]))
+      .otherwise(regexp_replace(noDefaultPort,
+        "(//[^/]+(/.*[^/]))/$", "$1"))
+  }
+
+  /** PII scrub for training text (the anonymise-job concern at corpus
+    * scale, `management/commands/anonymise.py`): mask e-mail addresses and
+    * international/UK-style phone numbers with fixed tokens. Deliberately
+    * regex-syntactic and RE2-compatible; recall/precision trade-offs are
+    * the caller's via the patterns, and masking is idempotent (the mask
+    * tokens don't re-match).
+    */
+  def maskPii(c: Column,
+      emailToken: String = "<EMAIL>", phoneToken: String = "<PHONE>"): Column =
+    regexp_replace(
+      regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        emailToken),
+      "(\\+[0-9]{1,3}[ -]?)?(\\(0\\)[ -]?)?([0-9][ -]?){9,12}[0-9]",
+      phoneToken)
+
   /** Rolling-hash fingerprint over word 3-grams: order-sensitive but
     * locally-stable (a small edit changes few shingle hashes). Returns the
     * min shingle hash — the 1-hash MinHash, useful as a cheap cluster key.

@@ -69,4 +69,34 @@ class TextFunctionsSpec extends SparkSuite {
       .as[Seq[String]].head()
     assert(empty === Seq.empty)
   }
+
+  test("canonical URL: case, fragment, tracking params, default ports, trailing slash") {
+    def cu(u: String): String =
+      Seq(u).toDF("u").select(TF.canonicalUrl($"u").as("r"))
+        .as[String].head()
+    assert(cu("HTTPS://Example.COM:443/Path/") === "https://example.com/Path")
+    assert(cu("http://example.com:80/") === "http://example.com/")  // root keeps /
+    assert(cu("https://example.com/a?utm_source=x&id=3&utm_campaign=y#frag")
+      === "https://example.com/a?id=3")
+    assert(cu("https://example.com/a?utm_source=x") === "https://example.com/a")
+    assert(cu("https://example.com/a?gclid=z&fbclid=w&q=1")
+      === "https://example.com/a?q=1")
+    // path/query case preserved; non-default ports preserved
+    assert(cu("HTTP://HOST.example.com:8080/A/B?Q=Up")
+      === "http://host.example.com:8080/A/B?Q=Up")
+    val n = Seq(Option.empty[String]).toDF("u")
+      .select(TF.canonicalUrl($"u").as("r")).as[Option[String]].head()
+    assert(n.isEmpty)
+  }
+
+  test("PII scrub masks emails and phone numbers, idempotent") {
+    def mp(s: String): String =
+      Seq(s).toDF("t").select(TF.maskPii($"t").as("r"))
+        .as[String].head()
+    val got = mp("mail bob.smith+x@pets.example.co.uk or call +44 1234 567890 now")
+    assert(got === "mail <EMAIL> or call <PHONE> now", got)
+    assert(mp(got) === got) // masks don't re-match
+    assert(mp("no pii here") === "no pii here")
+    assert(mp("ring 01234 567890.") === "ring <PHONE>.")
+  }
 }
