@@ -452,6 +452,18 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // C4/Gopher-style repetition signals over the documents corpus —
+    // duplicate-line and duplicate-3-gram fractions, re-derived in DuckDB
+    // via list_distinct over the same splits
+    "q_repetition" -> ((s, dir) => {
+      import graft.text.{TextFunctions => TF}
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.duplicateLineFraction(col("text")).as("dup_line_frac"),
+        TF.duplicateNgramFraction(col("text"), 3).as("dup_3gram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization + PII scrub over deterministically-messied
     // inputs built from the documents table — the web-dedup prerequisite
     // (canonical url BEFORE uniqueness) and the corpus-scale anonymise
@@ -1318,6 +1330,28 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT a_id, b_id, i * 1.0 / u AS jaccard
          FROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.35""",
+    "q_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+               l -> trim(l) != '') AS lines,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, lines,
+             CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN len(lines) = 0 THEN 0.0
+                ELSE (len(lines) - len(list_distinct(lines))) * 1.0
+                     / len(lines) END AS dup_line_frac,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE (len(grams) - len(list_distinct(grams))) * 1.0
+                     / len(grams) END AS dup_3gram_frac
+         FROM g""",
     // canonical-url + PII-mask chains re-derived step-for-step (DuckDB
     // regexp_replace needs the explicit 'g' flag where Spark is global)
     "q_url_canon" ->

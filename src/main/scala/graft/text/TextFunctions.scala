@@ -105,6 +105,39 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     xxhash64(regexp_replace(lower(trim(coalesce(c, lit("")))), "\\s+", " "))
 
+  /** Repetition signal (the C4/Gopher-style boilerplate filter): fraction
+    * of non-blank LINES that are duplicates of an earlier line. Templated
+    * pages (nav bars, cookie banners, scraped listings) repeat lines;
+    * prose doesn't. 0 for empty docs.
+    */
+  def duplicateLineFraction(c: Column): Column = {
+    val lines = filter(split(coalesce(c, lit("")), "\n"),
+      l => length(trim(l)) > 0)
+    when(size(lines) === 0, lit(0.0))
+      .otherwise((size(lines) - size(array_distinct(lines))).cast("double")
+        / size(lines))
+  }
+
+  /** Repetition signal at the n-gram level: fraction of word n-grams that
+    * are repeats. High values flag keyword-stuffed / machine-looped text
+    * even when no full line repeats. 0 when the doc has fewer than n
+    * tokens.
+    *
+    * Cost note: built from higher-order `transform` (interpreted per
+    * element) — fine for a per-doc quality pass; if this ever becomes the
+    * hot loop, port it to the SketchExpressions tight-loop pattern like
+    * the shingle hashing was.
+    */
+  def duplicateNgramFraction(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    when(size(grams) === 0, lit(0.0))
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double")
+        / size(grams))
+  }
+
   /** Canonical URL for web dedup — the normalization that runs BEFORE url
     * uniqueness so re-crawls of the same page collide. Purely syntactic
     * (RE2-safe regexes so an oracle can re-derive it): lowercase

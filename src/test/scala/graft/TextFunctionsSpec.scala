@@ -89,6 +89,24 @@ class TextFunctionsSpec extends SparkSuite {
     assert(n.isEmpty)
   }
 
+  test("repetition signals: templated text scores high, prose scores zero") {
+    val df = Seq(
+      ("menu\nhome\nmenu\nhome\nmenu", "lines"),          // 3/5 lines repeat
+      ("buy cheap buy cheap buy cheap buy cheap", "grams"),
+      ("the quick brown fox jumps over the lazy dog", "prose"),
+      ("", "empty")
+    ).toDF("text", "tag")
+    val got = df.select($"tag",
+        TF.duplicateLineFraction($"text").as("dl"),
+        TF.duplicateNgramFraction($"text", 3).as("dg"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("lines")._1 === 0.6)
+    assert(got("prose")._1 === 0.0 && got("prose")._2 === 0.0)
+    // "buy cheap buy" style loops: 6 trigrams, 2 distinct → 4/6
+    assert(math.abs(got("grams")._2 - 4.0 / 6.0) < 1e-12, got("grams").toString)
+    assert(got("empty") === ((0.0, 0.0)))
+  }
+
   test("PII scrub masks emails and phone numbers, idempotent") {
     def mp(s: String): String =
       Seq(s).toDF("t").select(TF.maskPii($"t").as("r"))
