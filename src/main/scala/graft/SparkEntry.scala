@@ -1316,7 +1316,8 @@ object SparkEntry {
     // exact all-pairs word-3-gram Jaccard — ground truth for the LSH paths
     // (see q_minhash_lsh comment for why recall is exactly 1 here)
     "q_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
+                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
                FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
@@ -1336,7 +1337,8 @@ object SparkEntry {
              list_filter(string_split(coalesce(text, ''), chr(10)),
                l -> trim(l) != '') AS lines,
              CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS ws
+                  ELSE list_filter(string_split_regex(
+                    trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') END AS ws
            FROM documents),
          g AS (
            SELECT doc_id, lines,
@@ -1396,7 +1398,8 @@ object SparkEntry {
     // exact cross-corpus 3-gram Jaccard (train = all docs, eval = the
     // doc_id % 17 slice) — ground truth for the decontamination pairs
     "q_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
+                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
                FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
@@ -1494,7 +1497,8 @@ object SparkEntry {
            len(regexp_extract_all(coalesce(text,''), '(?i)\b(el|los|las|es|una|en|que|por|con|para)\b')) AS h_es,
            len(regexp_extract_all(coalesce(text,''), '(?i)\b(le|la|les|et|est|une|dans|que|pour|pas)\b')) AS h_fr,
            CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
-                ELSE len(string_split_regex(trim(coalesce(text,'')), '\s+')) END AS toks,
+                ELSE len(list_filter(string_split_regex(
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '')) END AS toks,
            len(regexp_extract_all(coalesce(text,''), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS bpe,
            length(coalesce(text,'')) AS nch,
            len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N}\s]')) AS punct,
@@ -1551,7 +1555,8 @@ object SparkEntry {
          SELECT part, metric, round(value, 6) AS value, value <= 0.2 AS pass
          FROM (SELECT * FROM psi UNION ALL SELECT * FROM ks)""",
     "q_simhash_neardup" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
+                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
                FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]

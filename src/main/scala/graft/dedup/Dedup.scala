@@ -84,21 +84,38 @@ object Dedup {
     * quadratically. Oversized buckets are the classic "stop-band" case;
     * the skip list itself is tiny and broadcast anti-joined.
     */
+  /** (id, band, band-hash) rows for a signature frame — the ONE banding
+    * implementation both the single-corpus and cross-corpus LSH paths use
+    * (they must never diverge). xxhash64 hashes the long-array band slice
+    * DIRECTLY (HashExpression recurses into ArrayType) — no per-row
+    * per-band string materialization in the hottest dedup stage.
+    */
+  private def bandedBuckets(withSig: DataFrame, idCol: String, bands: Int,
+      sigCol: String, idOut: String): DataFrame =
+    withSig.select(
+      col(idCol).as(idOut),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(slice(col(sigCol),
+            b * (size(col(sigCol)) / bands) + 1,
+            size(col(sigCol)) / bands)).as("bh"))))
+        .as("bb"))
+      .select(col(idOut), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+  /** Exact shingle-set Jaccard from two shingle-hash array columns —
+    * shared by the verify stages so single- and cross-corpus paths agree
+    * bit-for-bit.
+    */
+  private def jaccardOf(aSh: Column, bSh: Column): Column = {
+    val uni = size(array_union(aSh, bSh))
+    when(uni === 0, 0.0)
+      .otherwise(size(array_intersect(aSh, bSh)).cast("double") / uni)
+  }
+
   def lshCandidates(withSig: DataFrame, idCol: String,
       bands: Int, out: String = "minhash",
       maxBucketSize: Int = 500): DataFrame = {
-    // xxhash64 hashes the long-array band slice DIRECTLY (HashExpression
-    // recurses into ArrayType) — no per-row per-band string materialization
-    // of the signature lanes in the hottest dedup stage
-    val exploded = withSig.select(
-      col(idCol).as("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(slice(col(out),
-            b * (size(col(out)) / bands) + 1,
-            size(col(out)) / bands)).as("bh"))))
-        .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val exploded = bandedBuckets(withSig, idCol, bands, out, "id")
     val oversized = exploded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
       .select("band", "bh")
@@ -124,11 +141,7 @@ object Dedup {
     pairs
       .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), Seq("a_id"))
       .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))))
-      .withColumn("jaccard",
-        when(col("uni") === 0, 0.0)
-          .otherwise(col("inter").cast("double") / col("uni")))
+      .withColumn("jaccard", jaccardOf(col("a_sh"), col("b_sh")))
       .select("a_id", "b_id", "jaccard")
   }
 
@@ -160,15 +173,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       maxBucketSize: Int = 500): DataFrame = {
     def banded(df: DataFrame, side: String): DataFrame =
-      withMinHash(df, textCol, numHashes, k).select(
-        col(idCol).as(s"${side}_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            xxhash64(slice(col("minhash"),
-              b * (size(col("minhash")) / bands) + 1,
-              size(col("minhash")) / bands)).as("bh")))).as("bb"))
-        .select(col(s"${side}_id"), col("bb.band").as("band"),
-          col("bb.bh").as("bh"))
+      bandedBuckets(withMinHash(df, textCol, numHashes, k), idCol, bands,
+        "minhash", s"${side}_id")
     val tb = banded(train, "t")
     val eb = banded(eval, "e")
     val oversized = tb.select(col("band"), col("bh"))
@@ -189,11 +195,7 @@ object Dedup {
     cands
       .join(shingled(train, "t"), Seq("t_id"))
       .join(shingled(eval, "e"), Seq("e_id"))
-      .withColumn("inter", size(array_intersect(col("t_sh"), col("e_sh"))))
-      .withColumn("uni", size(array_union(col("t_sh"), col("e_sh"))))
-      .withColumn("jaccard",
-        when(col("uni") === 0, 0.0)
-          .otherwise(col("inter").cast("double") / col("uni")))
+      .withColumn("jaccard", jaccardOf(col("t_sh"), col("e_sh")))
       .where(col("jaccard") >= threshold)
       .select("t_id", "e_id", "jaccard")
   }

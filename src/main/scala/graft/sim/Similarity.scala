@@ -118,8 +118,16 @@ object Similarity {
     */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, iters: Int = 3): Array[Array[Double]] = {
+    // malformed embeddings (null / null elements) are excluded from
+    // TRAINING up front: a null-element seed would poison a centroid, and
+    // an assignment-time NULL cell would NPE the means collect. Rows with
+    // a dim mismatch vs the trained centroids are quarantined at
+    // assignment (NearestCells → NULL cell, filtered below and dropped
+    // from the inverted file by the cell join) — same exclusion
+    // bruteForceTopK applies via its NULL-score filter.
     val base = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"))
+        col(vecCol).cast("array<double>").as("vec"))
+      .where(col("vec").isNotNull && !exists(col("vec"), x => x.isNull))
     var centroids: Array[Array[Double]] = base
       .withColumn("_h", xxhash64(col("id")))
       .orderBy(col("_h"), col("id")).limit(nLists)
@@ -128,6 +136,7 @@ object Similarity {
     var i = 0
     while (i < iters) {
       val means = withNearestCells(base, col("vec"), centroids, 1, "_cells")
+        .where(col("_cells").isNotNull)
         .select(col("_cells").getItem(0).as("cell"),
           posexplode(col("vec")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))

@@ -48,8 +48,10 @@ object Sampling {
 
   /** Deterministic global shuffle — training corpora are shuffled before
     * sharding, and the shuffle must replay identically: order by the key
-    * hash (ties by key, so equal-hash rows still order totally). A range
-    * sort, so it scales like any global orderBy.
+    * hash (ties by key, so DISTINCT keys order totally). PRECONDITION:
+    * `keyCol` must be unique — rows sharing a key have identical sort
+    * keys and no defined relative order (dedup first, or pass a unique
+    * key). A range sort, so it scales like any global orderBy.
     */
   def deterministicShuffle(df: DataFrame, keyCol: String,
       seed: Long = 42L): DataFrame =

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens; empty/null-safe (empty string → empty array). */
+  /** Whitespace tokens; empty/null-safe (empty string → empty array).
+    * Trims ALL whitespace classes from both ends before splitting (SQL
+    * `trim` strips spaces only — a leading newline would otherwise yield
+    * a phantom empty first token, since Java-split semantics drop trailing
+    * empties but keep leading ones).
+    */
   def tokens(c: Column): Column = {
-    val trimmed = trim(coalesce(c, lit("")))
+    val trimmed = regexp_replace(coalesce(c, lit("")), "^\\s+|\\s+$", "")
     when(length(trimmed) === 0, array().cast("array<string>"))
       .otherwise(split(trimmed, "\\s+"))
   }
@@ -152,11 +157,20 @@ object TextFunctions {
       lower(regexp_extract(c, "^([^/?#]*//[^/?#]*)", 1)),
       regexp_replace(c, "^[^/?#]*//[^/?#]*", ""))
     val noFragment = regexp_replace(lowered, "#.*$", "")
+    // the separator ANCHORS the param name (xgclid/my_utm_x must survive);
+    // each match keeps its leading [?&], so runs of removed params leave
+    // ?&/&& debris cleaned up before the dangling-separator trim
     val noTracking = regexp_replace(noFragment,
-      "(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?", "")
-    val noDanglingSep = regexp_replace(noTracking, "[?&]$", "")
-    val noDefaultPort = regexp_replace(noDanglingSep,
-      "^(https?://[^/:?#]+):(80|443)([/?#]|$)", "$1$3")
+      "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1")
+    val noDebris = regexp_replace(
+      regexp_replace(noTracking, "&&+", "&"), "\\?&", "?")
+    val noDanglingSep = regexp_replace(noDebris, "[?&]$", "")
+    // a scheme only swallows ITS OWN default port (https:80 is a real,
+    // distinct endpoint and must not collide with https:443)
+    val noDefaultPort = regexp_replace(
+      regexp_replace(noDanglingSep,
+        "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
     // trim ONE trailing slash, but never the root path's: a literal '/'
     // must separate the authority from the trimmed segment (a pattern a
     // backtracking [^/]+ authority cannot satisfy on root URLs)

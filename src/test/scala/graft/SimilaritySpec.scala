@@ -120,6 +120,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall(corpus.repartition(7)) >= 0.8)
   }
 
+  test("IVF paths survive a malformed corpus row and agree with brute force on its exclusion") {
+    // one corpus row with a NULL embedding element (Seq[Option[Float]])
+    val bad = Seq((999L, Seq(Option(1f), None, Option(3f), Option(4f),
+      Option(5f), Option(6f), Option(7f), Option(8f))))
+      .toDF("vec_id", "embedding")
+    val poisoned = corpus.select($"vec_id",
+        $"embedding".cast("array<float>").as("embedding"))
+      .unionByName(bad.select($"vec_id",
+        $"embedding".cast("array<float>").as("embedding")))
+    val brute = Similarity.bruteForceTopK(poisoned, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(!brute.exists(_._2 == 999L)) // NULL score never ranked
+    val ivf = Similarity.ivfTopK(poisoned, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5,
+      nLists = 4, nProbe = 4, iters = 2)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(ivf === brute)
+    val hier = Similarity.ivfTopKHierarchical(poisoned, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5,
+      nCoarse = 3, nFine = 3, nProbeCoarse = 3, nProbeFine = 3, iters = 2)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(hier === brute)
+  }
+
   test("NearestCells refuses malformed embeddings (null elements / dim mismatch) like DotProduct") {
     import graft.functions.SketchExpressions.nearestCells
     val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))

@@ -84,6 +84,17 @@ class TextFunctionsSpec extends SparkSuite {
     // path/query case preserved; non-default ports preserved
     assert(cu("HTTP://HOST.example.com:8080/A/B?Q=Up")
       === "http://host.example.com:8080/A/B?Q=Up")
+    // params merely CONTAINING a tracking name survive (anchored match)
+    assert(cu("https://example.com/a?xgclid=5&q=1")
+      === "https://example.com/a?xgclid=5&q=1")
+    assert(cu("https://example.com/a?my_utm_x=1")
+      === "https://example.com/a?my_utm_x=1")
+    // adjacent tracking params both removed, separator debris cleaned
+    assert(cu("https://example.com/a?utm_a=1&utm_b=2&q=1")
+      === "https://example.com/a?q=1")
+    // a scheme only swallows ITS OWN default port
+    assert(cu("https://example.com:80/x") === "https://example.com:80/x")
+    assert(cu("http://example.com:443/x") === "http://example.com:443/x")
     val n = Seq(Option.empty[String]).toDF("u")
       .select(TF.canonicalUrl($"u").as("r")).as[Option[String]].head()
     assert(n.isEmpty)
