@@ -1287,6 +1287,7 @@ object SparkEntry {
                WHEN years = 0 AND months = 1 THEN 'a month'
                WHEN years = 0 THEN months || ' months'
                WHEN years = 1 AND months = 0 AND rem = 0 THEN 'a year'
+               WHEN years = 1 AND months = 0 AND rem = 1 THEN '1 year, 1 day'
                WHEN years = 1 AND months = 0 THEN '1 year, ' || rem || ' days'
                WHEN years = 1 AND months = 1 THEN '1 year, 1 month'
                WHEN years = 1 THEN '1 year, ' || months || ' months'
@@ -1318,7 +1319,9 @@ object SparkEntry {
     "q_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
                  trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
-               FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                   ELSE list_distinct(list_transform(
@@ -1375,16 +1378,27 @@ object SparkEntry {
                || regexp_replace(url, '^[^/?#]*//[^/?#]*', '') AS u0
            FROM m),
          c2 AS (SELECT doc_id, url, raw,
+             -- mirror canonicalUrl exactly: anchored [?&]-prefixed
+             -- tracking params (keeping the separator), then ?&/&& debris
+             -- cleanup, then the dangling-separator trim
              regexp_replace(
                regexp_replace(
-                 regexp_replace(u0, '#.*$', ''),
-                 '(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(u0, '#.*$', ''),
+                     '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
+                   '&&+', '&', 'g'),
+                 '\?&', '?', 'g'),
                '[?&]$', '') AS u1
            FROM c),
          c3 AS (SELECT doc_id, url, raw,
+             -- scheme-paired default ports: http only swallows :80,
+             -- https only :443 (https:80 is a distinct endpoint)
              regexp_replace(
-               regexp_replace(u1,
-                 '^(https?://[^/:?#]+):(80|443)([/?#]|$)', '\1\3'),
+               regexp_replace(
+                 regexp_replace(u1,
+                   '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+                 '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
                '(//[^/]+(/.*[^/]))/$', '\1') AS canonical
            FROM c2)
          SELECT doc_id, url, canonical,
@@ -1400,7 +1414,9 @@ object SparkEntry {
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
                  trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
-               FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                   ELSE list_distinct(list_transform(
@@ -1557,7 +1573,9 @@ object SparkEntry {
     "q_simhash_neardup" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
                  trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
-               FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                   ELSE list_distinct(list_transform(

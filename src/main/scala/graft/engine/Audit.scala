@@ -52,6 +52,44 @@ final class AuditLog(dir: String, spark: SparkSession) {
     if (!exists(verdictsDir)) Set.empty
     else spark.read.parquet(verdictsDir).select("part").distinct()
       .collect().map(_.getString(0)).toSet - ValidationEngine.GlobalPart
+
+  /** The `checked` row count each data partition had when it was LAST
+    * validated (latest audit_ts wins — a re-validated partition's fresh
+    * rows supersede history). The drift detector compares these against
+    * live counts.
+    */
+  def latestCheckedByPart(): Map[String, Long] =
+    if (!exists(verdictsDir)) Map.empty
+    else spark.read.parquet(verdictsDir)
+      .where(col("part") =!= ValidationEngine.GlobalPart)
+      .groupBy(col("part"))
+      .agg(max(struct(col("audit_ts"), col("checked")))
+        .getField("checked").as("checked"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Physically drop all verdict rows for the given partitions — the plain-
+    * parquet analog of an Iceberg row-level DELETE, used when a validated
+    * partition drifted (was compacted / re-grown / deleted) and its stale
+    * verdicts must not survive alongside the re-validation's fresh rows.
+    *
+    * Crash-safe by construction: the filtered copy is fully materialized to
+    * a temp dir BEFORE the live dir is swapped, and a crash between delete
+    * and rename leaves no verdicts dir — which the resume logic reads as
+    * "validate everything", never as stale success.
+    */
+  def supersede(parts: Set[String]): Unit = {
+    if (parts.nonEmpty && exists(verdictsDir)) {
+      val tmp = s"$verdictsDir-rewrite"
+      spark.read.parquet(verdictsDir)
+        .where(!col("part").isin(parts.toSeq: _*))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(verdictsDir)
+      val fs = live.getFileSystem(conf)
+      fs.delete(live, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    }
+  }
 }
 
 object Audit {
@@ -65,24 +103,54 @@ object Audit {
     * Uniqueness rules are GLOBAL (cross-partition): a key duplicated across
     * an already-validated partition and a newly-arrived one must still flag,
     * so the uniqueness pass scans the FULL table — keys-only, column-pruned
-    * passes over the unique-key columns, never the document
-    * bodies. Row/referential/stats passes stay pending-only, and the global
-    * verdict's checked count is reconstructed from the audit's own
-    * per-partition history plus this run's profiles — no extra count scan.
+    * passes over the unique-key columns, never the document bodies.
+    * Row/referential/stats passes stay pending-only.
+    *
+    * Resume is DRIFT-SAFE: validated partitions are trusted only while
+    * their live row count still matches the audit's — a compacted, re-grown
+    * or deleted partition is detected on every resume (count-only pass),
+    * re-validated, and its stale verdict rows superseded. The global
+    * uniqueness verdict's `checked` count comes from those live counts (or,
+    * on a first run, from this run's own profiles), so it always describes
+    * the table the uniqueness pass actually scanned.
     */
   def runIncremental(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
       auditDir: String, runId: String): Option[ValidationResult] = {
     val spark = df.sparkSession
     val audit = new AuditLog(auditDir, spark)
-    val done = audit.validatedParts()
+    val done0 = audit.validatedParts()
+
+    val partKey = coalesce(expr(cfg.partExpr).cast("string"), lit("(null)"))
+
+    // Drift detection: a crawl table is compacted, re-written and pruned
+    // routinely, so "this partition has verdict rows" is not proof the rows
+    // it described still exist. Compare the audit's latest per-partition
+    // checked count against a LIVE count per partition — a single
+    // count-only pass (one narrow column for the partition expression, no
+    // document bodies). Any validated partition whose count changed is
+    // re-validated this run and its stale audit rows are physically
+    // superseded; a validated partition that vanished from the table has
+    // its rows dropped outright. The live totals also become the global
+    // uniqueness verdict's `checked` figure, so it always describes
+    // exactly the rows the full-table uniqueness pass scanned — never a
+    // stale audit reconstruction.
+    val (done, liveTotal): (Set[String], Option[Long]) =
+      if (done0.isEmpty) (done0, None)
+      else {
+        val live = df.groupBy(partKey.as("part")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val auditCounts = audit.latestCheckedByPart()
+        val drifted = done0.filter(p => live.get(p) != auditCounts.get(p))
+        audit.supersede(drifted)
+        (done0 -- drifted, Some(live.valuesIterator.sum))
+      }
 
     // Partition pruning: the filter on partExpr is pushed to the scan, so
     // already-validated daily partitions are never read again. NULL-part
     // rows key as "(null)" — the same keying every pass uses — so they are
     // validated exactly once and a NULL never poisons the isin (whose SQL
     // semantics would otherwise drop every non-matching row).
-    val partKey = coalesce(expr(cfg.partExpr).cast("string"), lit("(null)"))
     val pending =
       if (done.isEmpty) df
       else df.where(!partKey.isin(done.toSeq: _*))
@@ -99,28 +167,14 @@ object Audit {
         .agg(max(col("rowCount")).as("checked"))
       val globalChecked =
         if (uniqueRules.isEmpty) None
-        else {
-          // rows already validated, from the (tiny) audit verdicts: one
-          // checked figure per data partition (identical across that
-          // part's rule rows — take max), plus this run's pending rows.
-          // ASSUMES append-only partitions (the crawl's unit of arrival):
-          // if an already-validated partition is later deleted, compacted
-          // or grown, the historical checked counts no longer describe the
-          // rows the full-table uniqueness pass scanned — re-validate such
-          // partitions (drop their audit rows) or derive checked from a
-          // keys-only count(*) over df instead when drift is possible.
-          val doneRows =
-            if (done.isEmpty) 0L // first run: the audit is schemaless-empty
-            else {
-              val r = audit.verdicts()
-                .where(col("part") =!= ValidationEngine.GlobalPart)
-                .groupBy(col("part")).agg(max(col("checked")).as("c"))
-                .agg(sum(col("c"))).collect().head
-              if (r.isNullAt(0)) 0L else r.getLong(0)
-            }
+        else liveTotal.orElse {
+          // first run (no audit yet): pending IS the full table, so this
+          // run's own profiles already count every row the full-table
+          // uniqueness pass scanned — no extra count scan needed. On
+          // resumes the drift pass above has already paid for live counts
+          // and liveTotal is authoritative.
           val pendingRows = checked.agg(sum(col("checked"))).collect().head
-          Some(doneRows +
-            (if (pendingRows.isNullAt(0)) 0L else pendingRows.getLong(0)))
+          Some(if (pendingRows.isNullAt(0)) 0L else pendingRows.getLong(0))
         }
       val verdicts = ValidationEngine.assembleVerdicts(
         spark, rules, violations, checked, globalChecked)

@@ -200,6 +200,8 @@ object StringFunctions {
           .otherwise(concat(str(months), lit(" months"))))
       .when(years === 1,
         when(months === 0 && remDays === 0, lit("a year"))
+          // humanize ngettext singularizes the one-day remainder
+          .when(months === 0 && remDays === 1, lit("1 year, 1 day"))
           .when(months === 0, concat(lit("1 year, "), str(remDays), lit(" days")))
           .when(months === 1, lit("1 year, 1 month"))
           .otherwise(concat(lit("1 year, "), str(months), lit(" months"))))

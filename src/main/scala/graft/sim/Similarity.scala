@@ -127,12 +127,21 @@ object Similarity {
     // bruteForceTopK applies via its NULL-score filter.
     val base = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("vec"))
-      .where(col("vec").isNotNull && !exists(col("vec"), x => x.isNull))
-    var centroids: Array[Array[Double]] = base
+      .where(col("vec").isNotNull && size(col("vec")) > 0 &&
+        !exists(col("vec"), x => x.isNull))
+    val seedVecs: Array[Array[Double]] = base
       .withColumn("_h", xxhash64(col("id")))
       .orderBy(col("_h"), col("id")).limit(nLists)
       .select("vec").collect()
       .map(_.getSeq[Double](0).toArray)
+    require(seedVecs.nonEmpty, "ivfTrain: no well-formed embeddings to seed from")
+    // The seeds are a hash-uniform sample; if the corpus mixes embedding
+    // dimensions, keep only the modal dimension among them so the centroid
+    // matrix is rectangular by construction (NearestCells requires it).
+    // Off-dimension rows are quarantined at assignment (NULL cell), the
+    // same treatment every other malformed-row path applies.
+    val modalDim = seedVecs.groupBy(_.length).maxBy { case (d, vs) => (vs.length, -d) }._1
+    var centroids: Array[Array[Double]] = seedVecs.filter(_.length == modalDim)
     var i = 0
     while (i < iters) {
       val means = withNearestCells(base, col("vec"), centroids, 1, "_cells")

@@ -121,4 +121,62 @@ class AuditResumeSpec extends SparkSuite {
       .as[(Long, Long)].collect().head
     assert(gv === ((4L, 1L)))
   }
+
+  test("partition drift (re-grown or deleted partition) is re-validated, stale audit rows superseded") {
+    val dir = Files.createTempDirectory("audit_drift").toString
+    def mk(rows: Seq[(String, String)]) = rows
+      .map { case (url, ts) => (url, ts, "<html/>".getBytes, s"text of $url", "en") }
+      .toDF("url", "ts", "html", "text", "lang")
+      .select($"url", $"ts".cast("timestamp").as("warc_ts"),
+        $"html", $"text", $"lang")
+    val rules = Seq(graft.rules.Required("url_required", "url"),
+      graft.rules.Unique("unique_url", Seq("url")))
+    val day1 = mk(Seq(
+      "https://h0.example.com/a" -> "2024-01-01 01:00:00",
+      "https://h0.example.com/b" -> "2024-01-01 02:00:00"))
+    val day2 = mk(Seq(
+      "https://h0.example.com/c" -> "2024-01-02 01:00:00",
+      "https://h0.example.com/d" -> "2024-01-02 02:00:00"))
+
+    val r1 = Audit.runIncremental(day1.unionByName(day2), rules,
+      Map.empty, cfg, dir, "run1")
+    assert(r1.isDefined)
+    val audit = new AuditLog(dir, spark)
+    assert(audit.validatedParts() === Set("2024-01-01", "2024-01-02"))
+
+    // day2 is COMPACTED/RE-GROWN: rewritten with a late row merged in —
+    // "has verdict rows" is no longer proof those rows were validated
+    val day2b = day2.unionByName(mk(Seq(
+      "https://h0.example.com/e" -> "2024-01-02 03:00:00")))
+    val r2 = Audit.runIncremental(day1.unionByName(day2b), rules,
+      Map.empty, cfg, dir, "run2")
+    assert(r2.isDefined)
+    // exactly the drifted partition was re-validated
+    val revalidated = r2.get.verdicts.select("part").distinct()
+      .as[String].collect().toSet - ValidationEngine.GlobalPart
+    assert(revalidated === Set("2024-01-02"))
+    // the global uniqueness verdict counts the LIVE table (5 rows), not a
+    // stale audit reconstruction (which would say 4)
+    val gv = r2.get.verdicts
+      .where($"rule_id" === "unique_url").select("checked")
+      .as[Long].collect().head
+    assert(gv === 5L)
+    // the stale run1 rows for day2 are physically gone: its verdicts carry
+    // run2 lineage only, one row per rule
+    val day2Rows = audit.verdicts().where($"part" === "2024-01-02")
+      .select("run_id", "rule_id").as[(String, String)].collect()
+    assert(day2Rows.map(_._1).toSet === Set("run2"))
+    // uniqueness verdicts live under the "(global)" scope row, so the
+    // per-partition lineage carries the partition-scoped rules only
+    assert(day2Rows.map(_._2).toSet === Set("url_required"))
+    // re-running the identical input is a no-op again (counts now match)
+    assert(Audit.runIncremental(day1.unionByName(day2b), rules,
+      Map.empty, cfg, dir, "run3").isEmpty)
+
+    // day1 is DELETED outright: nothing to re-validate, but its audit rows
+    // must not linger as a false resume watermark
+    assert(Audit.runIncremental(day2b, rules,
+      Map.empty, cfg, dir, "run4").isEmpty)
+    assert(audit.validatedParts() === Set("2024-01-02"))
+  }
 }

@@ -145,6 +145,30 @@ class SimilaritySpec extends SparkSuite {
     assert(hier === brute)
   }
 
+  test("ivfTrain survives empty and ragged vectors landing among the seeds") {
+    // nLists covers the whole corpus, so without the guard the empty and
+    // the 3-dim rows WOULD be selected as seeds and break NearestCells'
+    // rectangular-matrix require at plan build
+    val mixed = (Seq(
+        (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+        (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0f, 1f)),
+        (5L, Seq.empty[Float]), (6L, Seq(1f, 2f, 3f))))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val cents = Similarity.ivfTrain(mixed, "vec_id", "embedding",
+      nLists = 6, iters = 2)
+    assert(cents.nonEmpty && cents.forall(_.length == 4)) // modal dim only
+    val q = Seq((100L, Seq(1f, 0f, 0f, 0f))).toDF("q_id", "q_vec")
+      .select($"q_id", $"q_vec".cast("array<float>").as("q_vec"))
+    val ivf = Similarity.ivfTopK(mixed, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 3, nLists = 6, nProbe = 6, iters = 2)
+      .select("id").as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(mixed, q, "vec_id", "embedding",
+      "q_id", "q_vec", k = 3).select("id").as[Long].collect().toSet
+    assert(ivf === brute)
+    assert(!ivf.contains(5L) && !ivf.contains(6L)) // off-dim rows quarantined
+  }
+
   test("NearestCells refuses malformed embeddings (null elements / dim mismatch) like DotProduct") {
     import graft.functions.SketchExpressions.nearestCells
     val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))

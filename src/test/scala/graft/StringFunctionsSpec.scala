@@ -120,6 +120,7 @@ class StringFunctionsSpec extends SparkSuite {
       86400L -> "a day", 86400L * 17 -> "17 days",
       86400L * 40 -> "a month", 86400L * 200 -> "6 months",
       86400L * 365 -> "a year", 86400L * 385 -> "1 year, 20 days",
+      86400L * 366 -> "1 year, 1 day", // ngettext singular remainder
       86400L * 405 -> "1 year, 1 month", 86400L * 565 -> "1 year, 6 months",
       86400L * 800 -> "2 years")
     val got = cases.map(_._1).toDF("v")
