@@ -464,6 +464,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic sampling / stratification / sharding / shuffle over
+    // the documents corpus — membership, stratum fate, shard id and global
+    // order all decided ONLY by xxhash64(doc_id, 42), so every number here
+    // is invariant to partitioning, retries and cluster size.
+    // ORACLE: a true re-derivation, not a recorded golden — the exact
+    // XXH64 8-byte-long specialization Spark's XxHash64 evaluates
+    // (hashLong(key, 42) chained into hashLong(seed, ·)) is re-implemented
+    // in DuckDB SQL as a CTE chain over HUGEINT modular arithmetic
+    // (64×64-bit multiply split into 32-bit halves), validated bit-exact
+    // against org.apache.spark XxHash64 across the signed-long range.
+    "q_sampling" -> ((s, dir) => {
+      import graft.text.Sampling
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      val rates = Map("en" -> 0.2, "de" -> 0.5, "fr" -> 0.05, "zh" -> 0.35)
+      val r10 = Sampling.deterministicSample(docs, "doc_id", 0.10)
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("sample").as("family"), lit("r10").as("k"), col("n"))
+      val r50 = Sampling.deterministicSample(docs, "doc_id", 0.50)
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("sample").as("family"), lit("r50").as("k"), col("n"))
+      val strata = Sampling.stratifiedSample(docs, "doc_id", "lang", rates)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("stratum").as("family"), col("lang").as("k"), col("n"))
+      val shards = docs
+        .select(Sampling.shardColumn(col("doc_id"), 16).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("shard").as("family"),
+          lpad(col("shard").cast("string"), 2, "0").as("k"), col("n"))
+      val shuffled = Sampling.deterministicShuffle(docs, "doc_id").limit(20)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(xxhash64(col("doc_id"), lit(42L)), col("doc_id")))
+          .as("rk"))
+        .select(lit("shuffle").as("family"),
+          lpad(col("rk").cast("string"), 2, "0").as("k"),
+          col("doc_id").cast("long").as("n"))
+      r10.unionByName(r50).unionByName(strata).unionByName(shards)
+        .unionByName(shuffled)
+        .orderBy("family", "k")
+    }),
+
     // URL canonicalization + PII scrub over deterministically-messied
     // inputs built from the documents table — the web-dedup prerequisite
     // (canonical url BEFORE uniqueness) and the corpus-scale anonymise
@@ -1359,6 +1403,63 @@ object SparkEntry {
          FROM g""",
     // canonical-url + PII-mask chains re-derived step-for-step (DuckDB
     // regexp_replace needs the explicit 'g' flag where Spark is global)
+    // Deterministic sampling family: a TRUE re-derivation, not a recorded
+    // golden — Spark's XxHash64 8-byte-long specialization (hashLong
+    // chained key-then-seed, init 42) re-implemented as a DuckDB CTE
+    // chain over HUGEINT modular arithmetic; 64x64-bit multiplies are
+    // split into 32-bit halves so products stay inside signed 128-bit.
+    // hx is MATERIALIZED: five consumers would otherwise re-inline the
+    // 21-step chain and blow up DuckDB's optimizer.
+    "q_sampling" ->
+      """WITH t AS (SELECT doc_id, lang, doc_id AS v FROM documents),
+         s1 AS (SELECT *, (CAST(v AS HUGEINT) & 18446744073709551615::HUGEINT) AS x0 FROM t),
+         s2 AS (SELECT *, (((x0 * 668265295::HUGEINT) + (((x0 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS k1 FROM s1),
+         s3 AS (SELECT *, (((k1 << 31) & 18446744073709551615::HUGEINT) | (k1 >> 33)) AS k2 FROM s2),
+         s4 AS (SELECT *, (((k2 * 2246822535::HUGEINT) + (((k2 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS k3 FROM s3),
+         s5 AS (SELECT *, xor(2870177450012600311::HUGEINT, k3) AS b0 FROM s4),
+         s6 AS (SELECT *, (((b0 << 27) & 18446744073709551615::HUGEINT) | (b0 >> 37)) AS b1 FROM s5),
+         s7 AS (SELECT *, (((((b1 * 2246822535::HUGEINT) + (((b1 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT) AS b2 FROM s6),
+         s8 AS (SELECT *, xor(b2, b2 >> 33) AS f1 FROM s7),
+         s9 AS (SELECT *, (((f1 * 668265295::HUGEINT) + (((f1 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS f2 FROM s8),
+         s10 AS (SELECT *, xor(f2, f2 >> 29) AS f3 FROM s9),
+         s11 AS (SELECT *, (((f3 * 2654435833::HUGEINT) + (((f3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS f4 FROM s10),
+         s12 AS (SELECT *, xor(f4, f4 >> 32) AS c1 FROM s11),
+         s13 AS (SELECT *, xor((c1 + 2870177450012600269::HUGEINT) & 18446744073709551615::HUGEINT, 1279370338401826588::HUGEINT) AS g1 FROM s12),
+         s14 AS (SELECT *, (((g1 << 27) & 18446744073709551615::HUGEINT) | (g1 >> 37)) AS g2 FROM s13),
+         s15 AS (SELECT *, (((((g2 * 2246822535::HUGEINT) + (((g2 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT) AS g3 FROM s14),
+         s16 AS (SELECT *, xor(g3, g3 >> 33) AS h1 FROM s15),
+         s17 AS (SELECT *, (((h1 * 668265295::HUGEINT) + (((h1 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h2 FROM s16),
+         s18 AS (SELECT *, xor(h2, h2 >> 29) AS h3 FROM s17),
+         s19 AS (SELECT *, (((h3 * 2654435833::HUGEINT) + (((h3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h4 FROM s18),
+         s20 AS (SELECT *, xor(h4, h4 >> 32) AS h5 FROM s19),
+         s21 AS (SELECT *, CAST(CASE WHEN h5 >= 9223372036854775808::HUGEINT THEN h5 - 18446744073709551616::HUGEINT ELSE h5 END AS BIGINT) AS h FROM s20),
+         hx AS MATERIALIZED (SELECT doc_id, lang, h,
+                  ((h % 1000000000) + 1000000000) % 1000000000 AS pm
+                FROM s21)
+         SELECT 'sample' AS family, 'r10' AS k, CAST(count(*) AS BIGINT) AS n
+         FROM hx WHERE pm / 1000000000.0 < 0.10
+         UNION ALL
+         SELECT 'sample', 'r50', CAST(count(*) AS BIGINT)
+         FROM hx WHERE pm / 1000000000.0 < 0.50
+         UNION ALL
+         SELECT 'stratum', lang, CAST(count(*) AS BIGINT)
+         FROM hx
+         WHERE pm / 1000000000.0 < CASE lang WHEN 'en' THEN 0.2
+           WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.05 WHEN 'zh' THEN 0.35
+           ELSE 0.0 END
+         GROUP BY lang
+         UNION ALL
+         SELECT 'shard', lpad(CAST(((h % 16) + 16) % 16 AS VARCHAR), 2, '0'),
+           CAST(count(*) AS BIGINT)
+         FROM hx GROUP BY 2
+         UNION ALL
+         SELECT 'shuffle', lpad(CAST(rk AS VARCHAR), 2, '0'), doc_id
+         FROM (SELECT doc_id,
+                 row_number() OVER (ORDER BY h, doc_id) AS rk
+               FROM hx)
+         WHERE rk <= 20
+         ORDER BY 1, 2""",
+
     "q_url_canon" ->
       """WITH m AS (
            SELECT doc_id,
