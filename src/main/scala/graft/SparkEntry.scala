@@ -785,6 +785,22 @@ object SparkEntry {
           max(col("ts")).as("last_open"))
     }),
 
+    // S9 reference-exact: the InvoiceOpen read model keyed on the invoice
+    // FK (invoice.py:329-337 — `related_name="opens"`), per invoice:
+    // opens count and first/last opened, zero-open invoices included via
+    // the left join like Django's `invoice.opens.count()`.
+    "q_invoice_first_opens" -> ((s, dir) => {
+      val tb = graft.fixtures.CrmFixtures.build(s)
+      tb.invoices.alias("i")
+        .join(tb.invoiceOpens.alias("o"),
+          col("o.invoice_id") === col("i.id"), "left")
+        .groupBy(col("i.id").as("invoice_id"), col("i.state"))
+        .agg(count(col("o.id")).as("n_opens"),
+          min(col("o.opened")).as("first_open"),
+          max(col("o.opened")).as("last_open"))
+        .orderBy("invoice_id")
+    }),
+
     // S6: the invoice e-mail/PDF render sink as a batch job over the CRM
     // fixture (invoice.py:161-209 send/send_email + emails/invoice.txt) —
     // sendable set, due-defaulting, totals, and the full assembled body.
@@ -1116,6 +1132,24 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_opens,
          min(ts) AS first_open, max(ts) AS last_open
          FROM events WHERE event_type = 'view' GROUP BY 1""",
+    // fixture mirror (see CrmFixtures COUPLING note): invoices + opens as
+    // VALUES, the read model re-derived with the same left join
+    "q_invoice_first_opens" ->
+      """WITH inv(id, state) AS (VALUES
+           (1, 'unpaid'), (2, 'unpaid'), (3, 'paid'), (4, 'paid'),
+           (5, 'bogus'), (6, 'unpaid'), (7, 'draft')),
+         opens(id, invoice_id, opened) AS (VALUES
+           (1, 1, TIMESTAMP '2017-05-18 09:00:00'),
+           (2, 1, TIMESTAMP '2017-05-18 10:30:00'),
+           (3, 1, TIMESTAMP '2017-05-20 08:00:00'),
+           (4, 2, TIMESTAMP '2017-05-19 14:00:00'),
+           (5, 4, TIMESTAMP '2017-05-10 12:00:00'),
+           (6, 4, TIMESTAMP '2017-05-10 12:05:00'))
+         SELECT CAST(i.id AS BIGINT) AS invoice_id, i.state,
+           CAST(count(o.id) AS BIGINT) AS n_opens,
+           min(o.opened) AS first_open, max(o.opened) AS last_open
+         FROM inv i LEFT JOIN opens o ON o.invoice_id = i.id
+         GROUP BY 1, 2 ORDER BY 1""",
     "q_point_lookup" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_custkey = 42""",

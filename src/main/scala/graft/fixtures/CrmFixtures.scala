@@ -9,9 +9,10 @@ import java.sql.Timestamp
   * rows for every §5.3 error fixture. Frozen clock = 2017-05-21T00:00:00Z
   * (matching freezegun in tests/test_bookings.py:59).
   *
-  * COUPLING: the customers/invoices/charges rows below are mirrored as
-  * VALUES literals inside `SparkEntry.oracleSql` (`q_invoice_emails`,
-  * `q_customer_balances`, `q_repair_emails` — DuckDB re-derives those
+  * COUPLING: the customers/invoices/charges/invoiceOpens rows below are
+  * mirrored as VALUES literals inside `SparkEntry.oracleSql`
+  * (`q_invoice_emails`, `q_customer_balances`, `q_repair_emails`,
+  * `q_invoice_first_opens` — DuckDB re-derives those
   * read-models from the same inputs), and the expected VIOLATION rows live in the
   * `CrmReplayGolden` literal (regenerate via `graft.tools
   * .CrmGoldenPrinter`). Any edit here must be mirrored in ALL FOUR sites
@@ -29,7 +30,8 @@ object CrmFixtures {
       customers: DataFrame, pets: DataFrame, contacts: DataFrame,
       services: DataFrame, bookingSlots: DataFrame, bookings: DataFrame,
       bookingPets: DataFrame, invoices: DataFrame, charges: DataFrame,
-      payments: DataFrame, stateLog: DataFrame, invoicesAfter: DataFrame)
+      payments: DataFrame, stateLog: DataFrame, invoicesAfter: DataFrame,
+      invoiceOpens: DataFrame)
 
   def build(spark: SparkSession): Tables = {
     import spark.implicits._
@@ -198,7 +200,21 @@ object CrmFixtures {
       ("charge", 100L, ts("2017-05-03 11:00:00"), "paid", "unpaid")          // illegal
     ).toDF("entity", "entity_id", "ts", "source_state", "state")
 
+    // (id, invoice_id, opened) — S9 append-only open events keyed on the
+    // invoice FK (invoice.py:329-337 InvoiceOpen: opened auto_now_add,
+    // FK invoice, related_name="opens"). Invoice 1 opened three times,
+    // 2 once, 4 twice; the rest never.
+    val invoiceOpens = Seq(
+      (1L, 1L, ts("2017-05-18 09:00:00")),
+      (2L, 1L, ts("2017-05-18 10:30:00")),
+      (3L, 1L, ts("2017-05-20 08:00:00")),
+      (4L, 2L, ts("2017-05-19 14:00:00")),
+      (5L, 4L, ts("2017-05-10 12:00:00")),
+      (6L, 4L, ts("2017-05-10 12:05:00"))
+    ).toDF("id", "invoice_id", "opened")
+
     Tables(customers, pets, contacts, services, bookingSlots, bookings,
-      bookingPets, invoices, charges, payments, stateLog, invoicesAfter)
+      bookingPets, invoices, charges, payments, stateLog, invoicesAfter,
+      invoiceOpens)
   }
 }
