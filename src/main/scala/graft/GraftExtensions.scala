@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSignature, SimHash64, SrpBucket, WordShingleHashes}
+import graft.functions.{DotProduct, MinHashSignature, NearestCellsDyn, SimHash64, SrpBucket, WordShingleHashes}
 
 /** SQL registration for graft's custom Catalyst expressions, so the sketch
   * functions are usable from `spark.sql(...)` and `expr(...)` strings:
@@ -13,6 +13,8 @@ import graft.functions.{MinHashSignature, SimHash64, SrpBucket, WordShingleHashe
   *   minhash_signature(hashes, n)       → array<bigint>
   *   simhash64(hashes)                  → bigint
   *   srp_bucket(vec, planes, seed)      → bigint
+  *   dot_product(a, b)                  → double
+  *   nearest_cells_dyn(vec, matrix, n)  → array<int>
   *
   * Two entry points: `GraftFunctions.register(spark)` for an existing
   * session, or `--conf spark.sql.extensions=graft.GraftExtensions` at
@@ -54,7 +56,17 @@ object GraftFunctions {
     ("srp_bucket",
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
       (args: Seq[Expression]) => SrpBucket(args.head,
-        intArg(args(1), "srp_bucket"), longArg(args(2), "srp_bucket")))
+        intArg(args(1), "srp_bucket"), longArg(args(2), "srp_bucket"))),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    // the fixed-matrix NearestCells can't be SQL-registered (its centroid
+    // matrix is a constructor value, not an expression); the dynamic
+    // per-row-matrix form covers the SQL surface
+    ("nearest_cells_dyn",
+      new ExpressionInfo(classOf[NearestCellsDyn].getName, "nearest_cells_dyn"),
+      (args: Seq[Expression]) => NearestCellsDyn(args.head, args(1),
+        intArg(args(2), "nearest_cells_dyn")))
   )
 
   /** Register on a live session (idempotent). */

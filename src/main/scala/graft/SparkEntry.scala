@@ -22,6 +22,19 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Deterministic dump order in ONE pass. A global `orderBy` range-sorts:
+    * it runs a partition-boundary SAMPLING job that executes the (often
+    * expensive) upstream pipeline a second time, then ships the plan to
+    * every range task. The entries below emit small final result sets, so
+    * one hash exchange + in-partition sort is strictly cheaper and equally
+    * deterministic. The correctness gate sorts rows itself — this exists
+    * for stable, diffable dumps, not for the compare.
+    */
+  private implicit class StableDump(df: DataFrame) {
+    def stableSorted(cols: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+  }
+
   /** Flagship: the full validation pass (row rules + referential +
     * uniqueness + stats) over a pages-shaped table derived from the
     * documents testdata (driver smoke default sf0.001; override with
@@ -381,7 +394,7 @@ object SparkEntry {
         partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
       ValidationEngine.run(pages, PagesRules.catalog,
         dims = Map("hosts" -> hosts), cfg = cfg)
-        .verdicts.orderBy("part", "rule_id")
+        .verdicts.stableSorted("part", "rule_id")
     }),
 
     // ------------- rows-only entries (no SQL-expressible oracle) --------
@@ -394,7 +407,7 @@ object SparkEntry {
       ValidationEngine.run(data.pages, PagesRules.catalog,
         dims = Map("hosts" -> data.hosts), cfg = cfg)
         .violations.groupBy(col("rule_id")).agg(count(lit(1)).as("n"))
-        .orderBy("rule_id")
+        .stableSorted("rule_id")
     }),
 
     // CRM replay: the reference error-fixture corpus as violation rows —
@@ -435,7 +448,13 @@ object SparkEntry {
         CrmChecks.orphanSlots(t.bookingSlots, t.bookings),
         CrmChecks.monitorConsistency(t.invoices, t.stateLog,
           "invoice", "paid", "paid_on")
-      ).reduce(_.unionByName(_)).orderBy("key", "rule_id", "message")
+      ).reduce(_.unionByName(_))
+        // NOT orderBy: a range sort samples partition boundaries, which
+        // EXECUTES all 22 union branches a second time and then ships the
+        // union's (large) serialized plan to ~200 range tasks; for a
+        // 41-row verdict table one exchange + in-partition sort is a
+        // single pass over every branch
+        .repartition(1).sortWithinPartitions("key", "rule_id", "message")
     }),
 
     // MinHash-LSH near-dup pairs over the documents corpus.
@@ -449,7 +468,7 @@ object SparkEntry {
       graft.dedup.Dedup.minHashNearDups(t(s, dir, "documents"),
         "doc_id", "text", threshold = 0.35, numHashes = 64, bands = 21,
         maxBucketSize = 200)
-        .orderBy("a_id", "b_id")
+        .stableSorted("a_id", "b_id")
     }),
 
     // C4/Gopher-style repetition signals over the documents corpus —
@@ -461,7 +480,7 @@ object SparkEntry {
         col("doc_id"),
         TF.duplicateLineFraction(col("text")).as("dup_line_frac"),
         TF.duplicateNgramFraction(col("text"), 3).as("dup_3gram_frac"))
-        .orderBy("doc_id")
+        .stableSorted("doc_id")
     }),
 
     // Deterministic sampling / stratification / sharding / shuffle over
@@ -505,7 +524,7 @@ object SparkEntry {
           col("doc_id").cast("long").as("n"))
       r10.unionByName(r50).unionByName(strata).unionByName(shards)
         .unionByName(shuffled)
-        .orderBy("family", "k")
+        .stableSorted("family", "k")
     }),
 
     // URL canonicalization + PII scrub over deterministically-messied
@@ -529,7 +548,7 @@ object SparkEntry {
         col("doc_id"), messy.as("url"),
         TF.canonicalUrl(messy).as("canonical"),
         TF.maskPii(raw).as("scrubbed"))
-        .orderBy("doc_id")
+        .stableSorted("doc_id")
     }),
 
     // Decontamination: cross-corpus (train × eval) near-dup pairs. The
@@ -544,7 +563,7 @@ object SparkEntry {
       val ev = docs.where(pmod(col("doc_id"), lit(17)) === 0)
       graft.dedup.Dedup.crossCorpusNearDups(docs, ev, "doc_id", "text",
         threshold = 0.35, numHashes = 64, bands = 21, maxBucketSize = 200)
-        .orderBy("t_id", "e_id")
+        .stableSorted("t_id", "e_id")
     }),
 
     // SimHash near-dup pairs (hamming ≤ 7 over 64-bit sketches; pigeonhole
@@ -556,7 +575,7 @@ object SparkEntry {
       graft.dedup.Dedup.simHashNearDups(t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 7, maxBucketSize = 200)
         .select("a_id", "b_id")
-        .orderBy("a_id", "b_id")
+        .stableSorted("a_id", "b_id")
     }),
 
     // brute-force cosine top-k (ANN baseline) for 5 query vectors.
@@ -569,7 +588,7 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       graft.sim.Similarity.bruteForceTopK(emb, queries,
         "vec_id", "embedding", "q_id", "q_vec", k = 10)
-        .orderBy("q_id", "rank")
+        .stableSorted("q_id", "rank")
     }),
 
     // LSH-bucketed ANN, PROVABLY-EXACT configuration (planes=0 → every row
@@ -588,7 +607,7 @@ object SparkEntry {
       graft.sim.Similarity.lshTopK(emb, queries,
         "vec_id", "embedding", "q_id", "q_vec", k = 10,
         planes = 0, tables = 1)
-        .orderBy("q_id", "rank")
+        .stableSorted("q_id", "rank")
     }),
 
     // embedding-cosine near-duplicate pairs, EXACT configuration
@@ -600,7 +619,7 @@ object SparkEntry {
       graft.sim.Similarity.cosineNearDups(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4, planes = 0, tables = 1,
         maxBucketSize = Int.MaxValue)
-        .orderBy("a_id", "b_id")
+        .stableSorted("a_id", "b_id")
     }),
 
     // embedding near-dup SCALE configuration (SRP-bucketed, 3 tables,
@@ -629,7 +648,7 @@ object SparkEntry {
           .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
       graft.sim.Similarity.cosineNearDups(corpus, "vec_id", "embedding",
         threshold = 0.9, planes = 10, tables = 3, maxBucketSize = 2000)
-        .orderBy("a_id", "b_id")
+        .stableSorted("a_id", "b_id")
     }),
 
     // IVF ANN, PROVABLY-EXACT configuration (nProbe = nLists: every query
@@ -646,7 +665,7 @@ object SparkEntry {
       graft.sim.Similarity.ivfTopK(emb, queries,
         "vec_id", "embedding", "q_id", "q_vec", k = 10,
         nLists = 8, nProbe = 8, iters = 2)
-        .orderBy("q_id", "rank")
+        .stableSorted("q_id", "rank")
     }),
 
     // TWO-LEVEL IVF (the 10^6-list scale path: coarse closure + per-cell
@@ -666,7 +685,7 @@ object SparkEntry {
       graft.sim.Similarity.ivfTopKHierarchical(emb, queries,
         "vec_id", "embedding", "q_id", "q_vec", k = 10,
         nCoarse = 4, nFine = 3, nProbeCoarse = 4, nProbeFine = 3, iters = 1)
-        .orderBy("q_id", "rank")
+        .stableSorted("q_id", "rank")
     }),
 
     // text-quality profile: langId, quality score, token counts — all four
@@ -681,7 +700,7 @@ object SparkEntry {
         round(TF.qualityScore(col("text")), 4).as("quality"),
         TF.tokenCount(col("text")).cast("long").as("tokens"),
         TF.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
-        .orderBy("doc_id")
+        .stableSorted("doc_id")
     }),
 
     // multimodal plumbing: stubbed decode over binary media columns. The
@@ -696,7 +715,7 @@ object SparkEntry {
         t(s, dir, "documents"))
       graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
         .select(col("id"), col("kind"), col("ok"), col("featureDim"))
-        .orderBy("id")
+        .stableSorted("id")
     }),
 
     // S8 repair scan (fixcustomers): empty invoice_email + exactly one
@@ -754,7 +773,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.resizeImages(media, maxSide = 256)
         .select(col("id"), col("ok"), col("width"), col("height"),
           length(col("bytes")).as("n_bytes"))
-        .orderBy("id")
+        .stableSorted("id")
     }),
 
     // multimodal frame sampling: one frame per second of video duration —
@@ -764,7 +783,7 @@ object SparkEntry {
         t(s, dir, "documents"))
       graft.multimodal.Multimodal.sampleFrames(media, everyMs = 1000L)
         .select(col("id"), col("frame_no"), col("ts_ms"))
-        .orderBy("id", "frame_no")
+        .stableSorted("id", "frame_no")
     }),
 
     // S9 read shape over the append-only event stream: opens per ENTITY +
@@ -843,6 +862,13 @@ object SparkEntry {
       // group-then-render shape a 10^12-row report job needs
       t(s, dir, "orders")
         .groupBy(col("o_orderdate")).agg(count(lit(1)).as("_n"))
+        // pin the render's parallelism: the humanize chains are
+        // COMPUTE-dense per row while the grouped rows are tiny in BYTES,
+        // so AQE (which coalesces by size) would serialize the whole
+        // render onto one task; an explicit width keeps it spread
+        // (measured 2.6s → 0.7s at sf0.1, and the same effect holds for a
+        // cluster-width render at 10^12 rows)
+        .repartition(32)
         .select(
           graft.functions.StringFunctions
             .naturalDate(col("o_orderdate"), expr(today)).as("nat_date"),
@@ -852,7 +878,12 @@ object SparkEntry {
           col("_n"))
         .groupBy("nat_date", "age", "age_precise")
         .agg(sum(col("_n")).cast("bigint").as("n"))
-        .orderBy("nat_date", "age", "age_precise")
+        // deterministic output order WITHOUT a range sort: orderBy's
+        // partition-boundary sampling would execute the render pipeline a
+        // second time; one exchange + in-partition sort is a single pass
+        // (the correctness gate sorts rows itself, this is for stable
+        // dumps)
+        .repartition(1).sortWithinPartitions("nat_date", "age", "age_precise")
     }),
 
     // drift: per-source PSI/KS of n_chars distributions vs the first source

@@ -52,6 +52,19 @@ object Sampling {
     * `keyCol` must be unique — rows sharing a key have identical sort
     * keys and no defined relative order (dedup first, or pass a unique
     * key). A range sort, so it scales like any global orderBy.
+    *
+    * AT 10^12 ROWS don't ask for one global order: shard first, sort
+    * within shards —
+    * {{{
+    * df.repartition(n, shardColumn(col(key), n))
+    *   .sortWithinPartitions(xxhash64(col(key), lit(seed)), col(key))
+    *   .write.partitionBy(...)
+    * }}}
+    * Each output shard then reads in exactly the order this global sort
+    * would give that shard's rows (same hash, same tie-break — only the
+    * cross-shard interleaving differs, which training loaders don't
+    * consume anyway). One hash-partition exchange instead of a
+    * range-sample + range exchange. Pinned by SamplingSpec.
     */
   def deterministicShuffle(df: DataFrame, keyCol: String,
       seed: Long = 42L): DataFrame =

@@ -25,4 +25,27 @@ class GraftExtensionsSpec extends SparkSuite {
       "SELECT srp_bucket(array(1.0d, 2.0d, 3.0d), 8, 42L) AS b").as[Long].head()
     assert(b >= 0 && b < 256)
   }
+
+  test("dot_product is SQL-callable with DotProduct's exact null semantics") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(d === 11.0)
+    // length mismatch and null elements return NULL, like zip_with
+    val nulls = spark.sql("""
+      SELECT dot_product(array(1.0d), array(1.0d, 2.0d)) AS a,
+             dot_product(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) AS b""")
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("nearest_cells_dyn is SQL-callable (per-row matrix, literal nProbe)") {
+    GraftFunctions.register(spark)
+    val cells = spark.sql("""
+      SELECT nearest_cells_dyn(array(0.9d, 0.1d),
+               array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 2) AS c""")
+      .as[Seq[Int]].head()
+    assert(cells === Seq(0, 1)) // nearest fine centroid first
+  }
 }

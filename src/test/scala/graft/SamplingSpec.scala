@@ -54,6 +54,28 @@ class SamplingSpec extends SparkSuite {
     assert(first === again)
   }
 
+  test("sharded sort-within-partitions equals the global shuffle per shard (the 10^12-row form)") {
+    // the scale recipe from deterministicShuffle's scaladoc: hash-shard,
+    // then sort within partitions — each shard's order must equal the
+    // global sort restricted to that shard's rows
+    val n = 8
+    val sharded = docs
+      .repartition(n, Sampling.shardColumn($"key", n))
+      .sortWithinPartitions(xxhash64($"key", lit(42L)), $"key")
+      .select(Sampling.shardColumn($"key", n).as("shard"), $"id")
+      .as[(Int, Long)]
+      .mapPartitions(it => it.toSeq.groupBy(_._1).iterator
+        .map { case (s, rows) => (s, rows.map(_._2)) })
+      .collect().toMap
+    val global = Sampling.deterministicShuffle(docs, "key")
+      .select(Sampling.shardColumn($"key", n).as("shard"), $"id")
+      .as[(Int, Long)].collect()
+    (0 until n).foreach { s =>
+      assert(sharded(s) === global.filter(_._1 == s).map(_._2).toSeq,
+        s"shard $s order diverged")
+    }
+  }
+
   test("stratified rates per language; unlisted strata drop like sampleBy") {
     val got = Sampling.stratifiedSample(docs, "key", "lang",
         Map("en" -> 0.5, "de" -> 0.05))
