@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, MinHashSignature, NearestCellsDyn, SimHash64, SrpBucket, WordShingleHashes}
+import graft.functions.{DotProduct, DuplicateNgramFraction, MinHashSignature, NearestCellsDyn, SimHash64, SrpBucket, WordShingleHashes}
 
 /** SQL registration for graft's custom Catalyst expressions, so the sketch
   * functions are usable from `spark.sql(...)` and `expr(...)` strings:
@@ -14,6 +14,7 @@ import graft.functions.{DotProduct, MinHashSignature, NearestCellsDyn, SimHash64
   *   simhash64(hashes)                  → bigint
   *   srp_bucket(vec, planes, seed)      → bigint
   *   dot_product(a, b)                  → double
+  *   dup_ngram_fraction(text, n)        → double
   *   nearest_cells_dyn(vec, matrix, n)  → array<int>
   *
   * Two entry points: `GraftFunctions.register(spark)` for an existing
@@ -66,7 +67,11 @@ object GraftFunctions {
     ("nearest_cells_dyn",
       new ExpressionInfo(classOf[NearestCellsDyn].getName, "nearest_cells_dyn"),
       (args: Seq[Expression]) => NearestCellsDyn(args.head, args(1),
-        intArg(args(2), "nearest_cells_dyn")))
+        intArg(args(2), "nearest_cells_dyn"))),
+    ("dup_ngram_fraction",
+      new ExpressionInfo(classOf[DuplicateNgramFraction].getName, "dup_ngram_fraction"),
+      (args: Seq[Expression]) => DuplicateNgramFraction(args.head,
+        intArg(args(1), "dup_ngram_fraction")))
   )
 
   /** Register on a live session (idempotent). */

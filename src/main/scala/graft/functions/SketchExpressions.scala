@@ -170,6 +170,83 @@ case class WordShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "word_shingle_hashes"
 }
 
+/** string → duplicate word-n-gram fraction in one tight loop (the C4/
+  * Gopher repetition signal, `TextFunctions.duplicateNgramFraction`'s hot
+  * path). The higher-order-function formulation costs ~1.2 ms/row on
+  * ~120-token docs (interpreted per array element); this loop is the same
+  * computation at ~10 µs/row — the difference between a feasible and an
+  * infeasible per-doc quality pass at 10^12 docs (NgramProbe records the
+  * measurement).
+  *
+  * Exact-parity contract with the columnar form (pinned in
+  * TextFunctionsSpec): tokens are maximal runs of non-`\s` chars (Java
+  * regex `\s` = [ \t\n\x0B\f\r] — NOT Character.isWhitespace, NOT
+  * String.trim's ≤U+0020 set), n-grams are space-joined token windows,
+  * distinctness is EXACT string equality (a HashSet of the joined grams,
+  * not hashes — no collision caveat), and the result is
+  * (grams − distinct) / grams, 0.0 for NULL/short/whitespace-only docs.
+  */
+case class DuplicateNgramFraction(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be positive: $n")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = false
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0.0
+    val s = v.toString
+    val len = s.length
+    // token boundaries: starts(i) inclusive, ends(i) exclusive
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val st = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (nTok == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    val nGrams = nTok - n + 1
+    if (nGrams <= 0) return 0.0
+    val seen = new java.util.HashSet[String](nGrams * 2)
+    var dup = 0
+    val sb = new java.lang.StringBuilder(64)
+    var g = 0
+    while (g < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(s, starts(g + j), ends(g + j))
+        j += 1
+      }
+      if (!seen.add(sb.toString)) dup += 1
+      g += 1
+    }
+    dup.toDouble / nGrams
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "dup_ngram_fraction"
+}
+
 /** array<double> vector → SRP (signed-random-projection) bucket id: `planes`
   * sign bits of deterministic pseudo-random hyperplane projections, packed
   * into a long. The hyperplane component for (plane p, dim i) is ±1 from

@@ -128,12 +128,24 @@ object TextFunctions {
     * even when no full line repeats. 0 when the doc has fewer than n
     * tokens.
     *
-    * Cost note: built from higher-order `transform` (interpreted per
-    * element) — fine for a per-doc quality pass; if this ever becomes the
-    * hot loop, port it to the SketchExpressions tight-loop pattern like
-    * the shingle hashing was.
+    * Evaluated by the tight-loop [[graft.functions.DuplicateNgramFraction]]
+    * expression: the higher-order-function formulation (kept as
+    * [[duplicateNgramFractionHof]], the spec's independent reference)
+    * measured ~1.2 ms/row on ~120-token docs — interpreted per array
+    * element — versus ~10 µs/row for the loop (NgramProbe; VERDICT r3
+    * item 6).
     */
-  def duplicateNgramFraction(c: Column, n: Int): Column = {
+  def duplicateNgramFraction(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.DuplicateNgramFraction(
+        org.apache.spark.sql.GraftColumnShim.expression(c), n))
+
+  /** The original columnar HOF formulation of [[duplicateNgramFraction]] —
+    * retained ONLY as the independently-derived parity reference for
+    * TextFunctionsSpec (same role the DuckDB oracle plays driver-side).
+    * Do not use in pipelines: ~100x slower than the expression.
+    */
+  private[graft] def duplicateNgramFractionHof(c: Column, n: Int): Column = {
     val toks = tokens(c)
     val grams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),

@@ -118,6 +118,32 @@ class TextFunctionsSpec extends SparkSuite {
     assert(got("empty") === ((0.0, 0.0)))
   }
 
+  test("tight-loop ngram fraction equals the HOF reference on adversarial inputs") {
+    // the expression replaced the HOF formulation for speed (~100x); the
+    // HOF stays as the independently-derived parity reference. Inputs
+    // stress the token contract: regex-\s whitespace runs (incl. a
+    // vertical tab, which IS \s), short docs, repeats, unicode tokens,
+    // a non-breaking space (NOT \s - it glues its neighbours into one
+    // token), and null.
+    val vt = 0x0B.toChar    // explicit: invisible literals are a trap
+    val nbsp = 0xA0.toChar
+    val texts = Seq(
+      "a b c a b c a b c", s"  \t a${vt}b \n c  ", "one two",
+      "x", "", "   \n\t  ", s"a${nbsp}b c a${nbsp}b c a${nbsp}b c",
+      "ü ö ü ö ü ö ü", "a a a a a a a a", null.asInstanceOf[String],
+      "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = df.select($"i",
+          TF.duplicateNgramFraction($"text", n).as("fast"),
+          TF.duplicateNgramFractionHof($"text", n).as("ref"))
+        .as[(Int, Double, Double)].collect()
+      rows.foreach { case (i, fast, ref) =>
+        assert(fast === ref, s"n=$n text=${texts(i)}")
+      }
+    }
+  }
+
   test("PII scrub masks emails and phone numbers, idempotent") {
     def mp(s: String): String =
       Seq(s).toDF("t").select(TF.maskPii($"t").as("r"))
