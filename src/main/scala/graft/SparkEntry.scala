@@ -193,14 +193,28 @@ object SparkEntry {
 
     // J7/R10 self range-join: same-customer orders within 1 day
     "q_self_range_join" -> ((s, dir) => {
+      // BANDED self range join (same shape as CrmChecks.overlappingSlots):
+      // a bare equi-join on custkey followed by the date predicate is
+      // O(fanout²) per key — measured x20 wall going sf0.1 → x10 input as
+      // per-customer order counts grew. Bucketing by the window width and
+      // exploding ONE side to {b-1, b, b+1} makes each qualifying pair
+      // join on exactly one (custkey, bucket) — |Δts| ≤ w ⇒ |Δbucket| ≤ 1
+      // and a.bucket matches exactly one of b's three — so the join cost
+      // tracks pairs-within-window, not all pairs per key.
       val o = t(s, dir, "orders")
+      val day = 86400L
       val a = o.select(col("o_custkey").as("custkey"),
-        col("o_orderkey").as("a_key"), col("o_orderdate").as("a_date"))
+        col("o_orderkey").as("a_key"), col("o_orderdate").as("a_date"),
+        floor(unix_timestamp(col("o_orderdate")) / day).as("bucket"))
       val b = o.select(col("o_custkey").as("custkey"),
-        col("o_orderkey").as("b_key"), col("o_orderdate").as("b_date"))
-      a.join(b, Seq("custkey"))
+        col("o_orderkey").as("b_key"), col("o_orderdate").as("b_date"),
+        floor(unix_timestamp(col("o_orderdate")) / day).as("bb"))
+        .withColumn("bucket",
+          explode(array(col("bb") - 1, col("bb"), col("bb") + 1)))
+        .drop("bb")
+      a.join(b, Seq("custkey", "bucket"))
         .where(col("a_key") < col("b_key") &&
-          abs(unix_timestamp(col("a_date")) - unix_timestamp(col("b_date"))) <= 86400L)
+          abs(unix_timestamp(col("a_date")) - unix_timestamp(col("b_date"))) <= day)
         .groupBy(col("custkey"))
         .agg(count(lit(1)).as("n_pairs"))
     }),

@@ -245,6 +245,18 @@ object Dedup {
     * generation by the pigeonhole principle: split 64 bits into
     * (maxHamming + 1) bands — any pair within distance shares ≥1 exact
     * band; equi-join on band value, then exact `bit_count(a^b)` verify.
+    *
+    * SCALE BOUND: band width is 64/(maxHamming+1) bits, so each band has
+    * only 2^width distinct bucket values — corpus size beyond
+    * maxBucketSize × 2^width rows pushes average buckets over the
+    * stop-band cap and recall degrades (the cap drops them rather than
+    * going quadratic). maxHamming = 7 (8-bit bands, 256 buckets/band) is a
+    * small-corpus/oracle configuration; at corpus scale use the default
+    * maxHamming ≤ 3 (16-bit bands, 65 536 buckets/band — Manku et al.'s
+    * recommended distance for 64-bit fingerprints, WWW'07), which holds
+    * ~10^7-10^8 docs per band before caps engage; past that, shard the
+    * corpus (e.g. by `Sampling.shardColumn`) and dedup within shards after
+    * an exact-dup pass.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, k: Int = 3, maxBucketSize: Int = 500): DataFrame = {
