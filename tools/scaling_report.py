@@ -128,3 +128,11 @@ is exact, no RNG anywhere). Wide rows: text right-padded to
 ~16 KB, html carries a copy (~33 KB/row); columnar reader batches capped
 near 16 MB inside ScalingBench.
 """)
+
+# Round-4 supplementary sections (query bench at 10x, tail diagnosis,
+# ngram hot-loop measurement) are maintained in tools/bench_extra.md so
+# regenerating this report keeps them.
+import os
+extra = os.path.join(os.path.dirname(__file__), "bench_extra.md")
+if os.path.exists(extra):
+    print(open(extra).read())
