@@ -497,6 +497,22 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // Corpus filtering AS validation: the Gopher/C4-style quality gates
+    // (length, repetition, language, quality score) expressed as the SAME
+    // ValidationRule catalog the page validator runs, over the documents
+    // corpus — per-(source, rule) verdicts with violation counts, the
+    // report a training-data pipeline actually acts on. Every signal is
+    // independently re-derived in the DuckDB oracle, so the whole verdict
+    // table is value-checked.
+    "q_docs_quality_filter" -> ((s, dir) => {
+      val docs = graft.text.QualityRules.withSignals(t(s, dir, "documents"))
+      val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
+        partExpr = "source")
+      ValidationEngine.run(docs, graft.text.QualityRules.catalog(),
+        Map.empty, cfg)
+        .verdicts.stableSorted("part", "rule_id")
+    }),
+
     // Deterministic sampling / stratification / sharding / shuffle over
     // the documents corpus — membership, stratum fate, shard id and global
     // order all decided ONLY by xxhash64(doc_id, 42), so every number here
@@ -1482,6 +1498,69 @@ object SparkEntry {
          FROM g""",
     // canonical-url + PII-mask chains re-derived step-for-step (DuckDB
     // regexp_replace needs the explicit 'g' flag where Spark is global)
+    // corpus-filter verdict table re-derived per (source, rule): token
+    // count (full-\s-trim split), dup-line/dup-3-gram fractions
+    // (q_repetition's formulas), quality (q_text_quality's formula,
+    // rounded to 4 so the threshold compares a bit-stable value), and the
+    // engine's exact fire conditions (Required: IS NULL; Allowed: NOT NULL
+    // AND NOT IN; ExprRule: NOT coalesce(pred, FALSE))
+    "q_docs_quality_filter" ->
+      """WITH m AS (SELECT source, text, lang,
+           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
+                ELSE len(list_filter(string_split_regex(
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+                  t -> t != '')) END AS toks,
+           list_filter(string_split(coalesce(text, ''), chr(10)),
+             l -> trim(l) != '') AS lines,
+           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN []::VARCHAR[]
+                ELSE list_filter(string_split_regex(
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+                  t -> t != '') END AS ws,
+           len(regexp_extract_all(coalesce(text,''), '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|auf)\b'))
+             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(the|and|of|to|is|in|that|it|was|for)\b'))
+             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(el|los|las|es|una|en|que|por|con|para)\b'))
+             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(le|la|les|et|est|une|dans|que|pour|pas)\b')) AS sw,
+           length(coalesce(text,'')) AS nch,
+           len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N}\s]')) AS punct,
+           len(regexp_extract_all(coalesce(text,''), '[\p{N}]')) AS dig
+         FROM documents),
+         sig AS (SELECT source, text, lang, toks,
+           CASE WHEN len(lines) = 0 THEN 0.0
+                ELSE (len(lines) - len(list_distinct(lines))) * 1.0
+                     / len(lines) END AS dlf,
+           CASE WHEN len(ws) < 3 THEN 0.0
+                ELSE (len(ws) - 2 - len(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) * 1.0
+                  / (len(ws) - 2) END AS dgf,
+           round(least(CAST(toks AS DOUBLE)/100.0, 1.0) * 0.3
+             + least((CASE WHEN toks = 0 THEN 0.0
+                 ELSE CAST(sw AS DOUBLE)/toks END) * 4.0, 1.0) * 0.3
+             + greatest(0.0, 1.0 - (CASE WHEN nch = 0 THEN 0.0
+                 ELSE CAST(punct AS DOUBLE)/nch END) * 5.0) * 0.2
+             + greatest(0.0, 1.0 - (CASE WHEN nch = 0 THEN 0.0
+                 ELSE CAST(dig AS DOUBLE)/nch END) * 3.0) * 0.2, 4) AS q
+         FROM m),
+         per AS (SELECT source AS part,
+           CAST(count(*) AS BIGINT) AS checked,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_req,
+           CAST(sum(CASE WHEN NOT coalesce(toks >= 5, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_tok,
+           CAST(sum(CASE WHEN NOT coalesce(dlf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dlf,
+           CAST(sum(CASE WHEN NOT coalesce(dgf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dgf,
+           CAST(sum(CASE WHEN lang IS NOT NULL
+                AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+           CAST(sum(CASE WHEN NOT coalesce(q >= 0.25, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_q
+         FROM sig GROUP BY 1)
+         SELECT part, rule_id, checked, violations, violations = 0 AS pass
+         FROM (
+           SELECT part, 'text_required' AS rule_id, checked, v_req AS violations FROM per
+           UNION ALL SELECT part, 'min_tokens', checked, v_tok FROM per
+           UNION ALL SELECT part, 'max_dup_line_frac', checked, v_dlf FROM per
+           UNION ALL SELECT part, 'max_dup_3gram_frac', checked, v_dgf FROM per
+           UNION ALL SELECT part, 'lang_allowed', checked, v_lang FROM per
+           UNION ALL SELECT part, 'min_quality', checked, v_q FROM per)
+         ORDER BY part, rule_id""",
+
     // Deterministic sampling family: a TRUE re-derivation, not a recorded
     // golden — Spark's XxHash64 8-byte-long specialization (hashLong
     // chained key-then-seed, init 42) re-implemented as a DuckDB CTE
