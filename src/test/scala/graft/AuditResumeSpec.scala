@@ -179,4 +179,64 @@ class AuditResumeSpec extends SparkSuite {
       Map.empty, cfg, dir, "run4").isEmpty)
     assert(audit.validatedParts() === Set("2024-01-02"))
   }
+
+  test("property: incremental state after random drift equals a clean from-scratch run") {
+    // randomized drift scenarios (seeded): generate a multi-day table,
+    // validate; then grow/shrink/delete random partitions and resume. The
+    // audit's final verdict state (latest per partition + the fresh
+    // run's global row) must equal ValidationEngine.run on the mutated
+    // full table — drift handling may never change WHAT is true, only
+    // how little work re-establishes it.
+    val rnd = new scala.util.Random(4242)
+    val rules = Seq(graft.rules.Required("url_required", "url"),
+      graft.rules.Allowed("lang_allowed", "lang",
+        Seq("en", "de", "fr", "es", "zh")),
+      graft.rules.Unique("unique_url", Seq("url")))
+
+    for (trial <- 1 to 3) {
+      val dir = Files.createTempDirectory(s"audit_prop$trial").toString
+      val data = PagesGen.generate(spark, nRows = 3000L, nDays = 3)
+      val base = data.pages.where(year($"warc_ts") === 2024)
+        .localCheckpoint(true)
+      assert(Audit.runIncremental(base, rules, Map.empty, cfg, dir,
+        s"t${trial}_run1").isDefined)
+
+      val parts = base.select(date_format($"warc_ts", "yyyy-MM-dd"))
+        .distinct().as[String].collect().sorted
+      // mutate one random partition per shape: grow one, delete another
+      val grow = parts(rnd.nextInt(parts.length))
+      val others = parts.filterNot(_ == grow)
+      val drop = others(rnd.nextInt(others.length))
+      val extra = base.where(date_format($"warc_ts", "yyyy-MM-dd") === grow)
+        .limit(5).withColumn("url", concat($"url", lit(s"?re$trial")))
+      val mutated = base
+        .where(date_format($"warc_ts", "yyyy-MM-dd") =!= drop)
+        .unionByName(extra)
+        .localCheckpoint(true)
+
+      val r2 = Audit.runIncremental(mutated, rules, Map.empty, cfg, dir,
+        s"t${trial}_run2")
+      assert(r2.isDefined, s"trial $trial: drift not detected")
+
+      // ground truth: clean full run on the mutated table
+      val clean = ValidationEngine.run(mutated, rules, Map.empty, cfg)
+      def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, Long)] =
+        df.select($"part", $"rule_id", $"checked", $"violations")
+          .as[(String, String, Long, Long)].collect().toSet
+      val audit = new AuditLog(dir, spark)
+      // audit state: latest verdict row per (part, rule) — per-partition
+      // rows are superseded in place; the global row's latest run (by
+      // audit_ts) is the resume's, which reflects live counts
+      assert(canon(clean.verdicts) === canonLatest(audit), s"trial $trial")
+    }
+  }
+
+  private def canonLatest(audit: AuditLog): Set[(String, String, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"part", $"rule_id").orderBy($"audit_ts".desc)
+    audit.verdicts().withColumn("_rk", row_number().over(w))
+      .where($"_rk" === 1)
+      .select($"part", $"rule_id", $"checked", $"violations")
+      .as[(String, String, Long, Long)].collect().toSet
+  }
 }
