@@ -50,6 +50,49 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(sink).select("batch_id").distinct().count() >= 1)
   }
 
+  test("streaming corpus filter: QualityRules through foreachBatch equals batch") {
+    // the quality gates are ordinary row rules over pure projections, so
+    // the SAME catalog + signal projection runs unchanged on a stream —
+    // filtering a live crawl is the batch filter in foreachBatch
+    import graft.text.QualityRules
+    implicit val sqlCtx = spark.sqlContext
+    val docRows: Seq[(Long, String, String, String)] = (0L until 900L).map { i =>
+      val src = s"s${i % 3}"
+      val text = (i % 6) match {
+        case 0 => "the quick brown fox jumps over the lazy dog and then it was done for all of us today ok"
+        case 1 => null
+        case 2 => "too short"
+        case 3 => "menu home\nmenu home\nmenu home\nmenu home\nabout page here now"
+        case 4 => s"buy cheap buy cheap buy cheap buy cheap buy cheap now $i"
+        case 5 => "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( ))) ~~~ ``` ||| ;;; :::"
+      }
+      (i, text, if (i % 7 == 0) "zh" else "en", src)
+    }
+    val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
+      partExpr = "source")
+    val docsDf = docRows.toDF("doc_id", "text", "lang", "source")
+    val batchVios = graft.engine.ValidationEngine
+      .run(QualityRules.withSignals(docsDf), QualityRules.catalog(),
+        Map.empty, cfg)
+      .violations.select("key", "rule_id").as[(String, String)].collect().toSet
+    assert(batchVios.nonEmpty)
+
+    val stream = MemoryStream[(Long, String, String, String)]
+    val sink = Files.createTempDirectory("qstream_sink").toString + "/v"
+    val ckpt = Files.createTempDirectory("qstream_ckpt").toString
+    val sdf = QualityRules.withSignals(
+      stream.toDF().toDF("doc_id", "text", "lang", "source"))
+    val writer = StreamingValidation.validateStream(sdf,
+      QualityRules.catalog(), Map.empty, cfg, sink, ckpt)
+    docRows.grouped(300).foreach(chunk => stream.addData(chunk))
+    val q = writer.start()
+    q.awaitTermination(120000)
+
+    val streamVios = spark.read.parquet(sink)
+      .select("key", "rule_id").as[(String, String)].collect().toSet
+    assert(streamVios === batchVios)
+  }
+
   test("stateful FSM stream: state store catches cross-batch source mismatches") {
     import graft.streaming.StreamingValidation.{TransitionEvent, FsmStreamViolation}
     implicit val sqlCtx = spark.sqlContext
