@@ -130,7 +130,7 @@ object TextFunctions {
     *
     * Evaluated by the tight-loop [[graft.functions.DuplicateNgramFraction]]
     * expression: the higher-order-function formulation (kept as
-    * [[duplicateNgramFractionHof]], the spec's independent reference)
+    * `duplicateNgramFractionHof`, the spec's independent reference)
     * measured ~1.2 ms/row on ~120-token docs — interpreted per array
     * element — versus ~10 µs/row for the loop (NgramProbe; VERDICT r3
     * item 6).
