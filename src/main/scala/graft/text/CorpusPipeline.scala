@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.engine.{EngineConfig, ValidationEngine}
+
+/** The end-to-end training-corpus construction pass — the composition the
+  * individual operators exist FOR, in the canonical order a web-scale
+  * pipeline runs them:
+  *
+  *   1. exact dedup on the canonical text fingerprint (keep min id per
+  *      group — one shuffle of 8-byte keys + ids)
+  *   2. MinHash-LSH near-dup prune at `nearDupThreshold`: drop the `b`
+  *      side of every (a < b) pair. For transitively-closed clusters this
+  *      keeps exactly the smallest id; for chain-shaped clusters it can
+  *      drop a doc whose only near-dup was itself dropped — the standard
+  *      greedy trade of pair-based MinHash dedup (a connected-components
+  *      pass is the alternative when that matters).
+  *   3. quality filter: drop docs with any ERROR-severity violation from
+  *      [[QualityRules]] (warn-severity flags keep the doc)
+  *   4. deterministic sample at `sampleRate` ([[Sampling]] — rerun- and
+  *      partitioning-invariant, supersets monotone in the rate)
+  *   5. stable shard assignment into `nShards`
+  *
+  * Returns (kept corpus with its shard column, per-stage report of
+  * surviving doc counts). Both are LAZY plans; the report's five count
+  * branches each re-execute their stage prefix, so at real scale persist
+  * or `localCheckpoint` the stage boundaries first — at report-corpus
+  * sizes the recompute is cheaper than the caching would be.
+  *
+  * Every stage is independently SQL-re-derivable (fingerprint groups ==
+  * canonical-text groups absent 2^-64 hash collisions; LSH pairs == exact
+  * Jaccard pairs on corpora with a similarity gap; the sampler's xxhash64
+  * membership re-implemented in DuckDB), which is what lets the driver
+  * oracle the WHOLE pipeline end-to-end (`q_corpus_pipeline`).
+  */
+object CorpusPipeline {
+
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, partCol: String,
+      nearDupThreshold: Double = 0.35, sampleRate: Double = 0.5,
+      nShards: Int = 8): (DataFrame, DataFrame) = {
+
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"), col(langCol).as("lang"),
+      col(partCol).as("source"))
+
+    // 1. exact dedup: min id survives its fingerprint group
+    val keepExact = base
+      .withColumn("_fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("_keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("_fp"))))
+      .where(col("doc_id") === col("_keep_id"))
+      .drop("_fp", "_keep_id")
+
+    // 2. near-dup prune: greedy drop of each pair's larger id
+    val nearPairs = Dedup.minHashNearDups(keepExact, "doc_id", "text",
+      threshold = nearDupThreshold, numHashes = 64, bands = 21,
+      maxBucketSize = 200)
+    val keepNear = keepExact.join(
+      nearPairs.select(col("b_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+    // 3. quality gate: error-severity violations drop the doc
+    val vios = ValidationEngine.run(QualityRules.withSignals(keepNear),
+      QualityRules.catalog(), Map.empty,
+      EngineConfig(keyExpr = "cast(doc_id as string)", partExpr = "source"))
+      .violations
+    val keepQuality = keepNear.join(
+      vios.where(col("severity") === "error")
+        .select(col("key").cast("long").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+    // 4-5. deterministic sample + stable shards
+    val sampled = Sampling.deterministicSample(keepQuality, "doc_id", sampleRate)
+    val kept = sampled.withColumn("shard",
+      Sampling.shardColumn(col("doc_id"), nShards))
+
+    def stage(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("docs"))
+        .select(lit(ord).as("ord"), lit(name).as("stage"), col("docs"))
+
+    val report = stage(0, "input", base)
+      .unionByName(stage(1, "exact_dedup", keepExact))
+      .unionByName(stage(2, "near_dedup", keepNear))
+      .unionByName(stage(3, "quality", keepQuality))
+      .unionByName(stage(4, "sample", sampled))
+
+    (kept, report)
+  }
+}

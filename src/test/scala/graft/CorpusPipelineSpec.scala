@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.CorpusPipeline
+
+/** The composed corpus-construction pass: stage funnel is monotone, the
+  * kept set is invariant to input partitioning (every stage decides from
+  * content/key hashes, never from physical layout), and planted docs fall
+  * out at the intended stage.
+  */
+class CorpusPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // twins 1/2: byte-identical after canonicalization → exact dedup
+    (1L, "The quick   brown fox jumps over the lazy dog and then it was done for all of us today", "en", "s0"),
+    (2L, "the quick brown fox jumps over the lazy dog and then it was done for all of us today", "en", "s0"),
+    // 3 near-dups 1 (one word changed) → near-dup prune drops 3
+    (3L, "the quick brown fox jumps over the lazy cat and then it was done for all of us today", "en", "s0"),
+    // 4: distinct clean doc, survives everything but the sampler decides
+    (4L, "completely different prose about validating web corpora with spark and catalyst for everyone involved", "en", "s1"),
+    // 5: quality-gate kills (too short)
+    (5L, "too short", "en", "s1"),
+    // 6: language gate kills (text distinct so it REACHES the lang gate)
+    (6L, "some entirely unrelated sentence where nothing matches anything else here at all in any way whatsoever", "zh", "s1"),
+    // 7: null text
+    (7L, null.asInstanceOf[String], "en", "s1")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("stage funnel: planted docs fall out at the intended stage, counts monotone") {
+    val (kept, report) = CorpusPipeline.build(corpus,
+      "doc_id", "text", "lang", "source", sampleRate = 1.0)
+    val stages = report.orderBy("ord").as[(Int, String, Long)].collect()
+    assert(stages.map(_._2).toSeq ===
+      Seq("input", "exact_dedup", "near_dedup", "quality", "sample"))
+    val counts = stages.map(_._3)
+    assert(counts.toSeq === Seq(7L, 6L, 5L, 2L, 2L)) // doc 2 exact, doc 3 near, docs 5/6/7 quality
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 4L)) // smallest ids of surviving content
+    // shard column present and stable
+    val shards = kept.select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(shards.values.forall(sh => sh >= 0 && sh < 8))
+  }
+
+  test("kept set is invariant to input partitioning") {
+    val (k1, _) = CorpusPipeline.build(corpus.repartition(7),
+      "doc_id", "text", "lang", "source", sampleRate = 0.6)
+    val (k2, _) = CorpusPipeline.build(corpus.coalesce(1),
+      "doc_id", "text", "lang", "source", sampleRate = 0.6)
+    assert(k1.select("doc_id", "shard").as[(Long, Int)].collect().toSet ===
+      k2.select("doc_id", "shard").as[(Long, Int)].collect().toSet)
+  }
+}
