@@ -132,6 +132,29 @@ class PhysicalPlanSpec extends SparkSuite {
       s"counting shuffle ships key strings:\n${countingExchanges.mkString("\n")}")
   }
 
+  test("stableSorted dumps never range-partition (no second execution of the pipeline)") {
+    // round-4 fix: a trailing global orderBy runs a range-boundary
+    // sampling job that re-executes the whole upstream; the stableSorted
+    // dump (one hash exchange + in-partition sort) must stay range-free
+    val sfDir = "/root/testdata/sf0.001"
+    for (q <- Seq("q_natural_dates", "q_crm_replay", "q_minhash_lsh")) {
+      val plan = finalPlanOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.toLowerCase.contains("rangepartitioning"),
+        s"$q plan re-grew a range sort")
+    }
+  }
+
+  test("banded self range join is an equi-join on (key, bucket), no cartesian") {
+    val plan = finalPlanOf(
+      SparkEntry.queries("q_self_range_join")(spark, "/root/testdata/sf0.001"))
+    val lower = plan.toLowerCase
+    assert(!lower.contains("cartesianproduct") &&
+      !lower.contains("broadcastnestedloop"), plan.take(2000))
+    // the join keys carry the time bucket, so per-key fanout never goes
+    // quadratic (x20 wall at x10 input before the fix)
+    assert(lower.contains("bucket"), plan.take(2000))
+  }
+
   test("staged projection is all fixed-width scalars + key strings (no nested types)") {
     val sink = Files.createTempDirectory("plan_sink").toString
     spark.conf.set("spark.graft.keepStage", "true") // else cleaned post-run
