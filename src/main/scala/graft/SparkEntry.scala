@@ -505,8 +505,12 @@ object SparkEntry {
     // fire conditions mirrored, the sampler's xxhash64 in HUGEINT SQL), so
     // the WHOLE pipeline is oracle-checked end to end.
     "q_corpus_pipeline" -> ((s, dir) => {
+      // width pin for the same reason as q_docs_quality_filter: the local
+      // sf-dir parquet is a 1-2-split file and every pipeline stage is
+      // compute-dense per row
       val (kept, report) = graft.text.CorpusPipeline.build(
-        t(s, dir, "documents"), "doc_id", "text", "lang", "source")
+        t(s, dir, "documents").repartition(32),
+        "doc_id", "text", "lang", "source")
       val shards = kept.groupBy(col("shard"))
         .agg(count(lit(1)).cast("long").as("docs"))
         .select(lit(5).as("ord"),
@@ -524,9 +528,21 @@ object SparkEntry {
     // independently re-derived in the DuckDB oracle, so the whole verdict
     // table is value-checked.
     "q_docs_quality_filter" -> ((s, dir) => {
-      val docs = graft.text.QualityRules.withSignals(t(s, dir, "documents"))
+      // the signal projection is compute-dense (several regex passes per
+      // doc) and the local sf-dir parquet is a 1-2-split file, so pin the
+      // width before computing signals — a real corpus arrives in
+      // thousands of splits and needs no such hint
+      val docs = graft.text.QualityRules.withSignals(
+        t(s, dir, "documents").repartition(32))
+      // profile the derived SIGNALS, not raw text bodies: min/max/HLL over
+      // document strings is wasted IO+CPU (and string agg buffers force
+      // SortAggregate); the verdict's checked count is rowCount either way
       val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
-        partExpr = "source")
+        partExpr = "source",
+        statsExprs = Seq("n_tokens" -> "n_tokens",
+          "dup_line_frac" -> "dup_line_frac",
+          "dup_3gram_frac" -> "dup_3gram_frac",
+          "quality" -> "quality"))
       ValidationEngine.run(docs, graft.text.QualityRules.catalog(),
         Map.empty, cfg)
         .verdicts.stableSorted("part", "rule_id")
