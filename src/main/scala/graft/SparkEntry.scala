@@ -463,12 +463,9 @@ object SparkEntry {
         CrmChecks.monitorConsistency(t.invoices, t.stateLog,
           "invoice", "paid", "paid_on")
       ).reduce(_.unionByName(_))
-        // NOT orderBy: a range sort samples partition boundaries, which
-        // EXECUTES all 22 union branches a second time and then ships the
-        // union's (large) serialized plan to ~200 range tasks; for a
-        // 41-row verdict table one exchange + in-partition sort is a
-        // single pass over every branch
-        .repartition(1).sortWithinPartitions("key", "rule_id", "message")
+        // stableSorted, NOT orderBy: a range sort would execute all 22
+        // union branches a second time for boundary sampling (see helper)
+        .stableSorted("key", "rule_id", "message")
     }),
 
     // MinHash-LSH near-dup pairs over the documents corpus.
@@ -943,12 +940,9 @@ object SparkEntry {
           col("_n"))
         .groupBy("nat_date", "age", "age_precise")
         .agg(sum(col("_n")).cast("bigint").as("n"))
-        // deterministic output order WITHOUT a range sort: orderBy's
-        // partition-boundary sampling would execute the render pipeline a
-        // second time; one exchange + in-partition sort is a single pass
-        // (the correctness gate sorts rows itself, this is for stable
-        // dumps)
-        .repartition(1).sortWithinPartitions("nat_date", "age", "age_precise")
+        // stableSorted, NOT orderBy: boundary sampling would run the
+        // render pipeline a second time (see helper)
+        .stableSorted("nat_date", "age", "age_precise")
     }),
 
     // drift: per-source PSI/KS of n_chars distributions vs the first source

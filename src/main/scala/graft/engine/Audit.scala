@@ -135,15 +135,15 @@ object Audit {
     // uniqueness verdict's `checked` figure, so it always describes
     // exactly the rows the full-table uniqueness pass scanned — never a
     // stale audit reconstruction.
-    val (done, liveTotal): (Set[String], Option[Long]) =
-      if (done0.isEmpty) (done0, None)
+    val (done, liveTotal, drifted): (Set[String], Option[Long], Set[String]) =
+      if (done0.isEmpty) (done0, None, Set.empty[String])
       else {
         val live = df.groupBy(partKey.as("part")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val auditCounts = audit.latestCheckedByPart()
-        val drifted = done0.filter(p => live.get(p) != auditCounts.get(p))
-        audit.supersede(drifted)
-        (done0 -- drifted, Some(live.valuesIterator.sum))
+        val dr = done0.filter(p => live.get(p) != auditCounts.get(p))
+        audit.supersede(dr)
+        (done0 -- dr, Some(live.valuesIterator.sum), dr)
       }
 
     // Partition pruning: the filter on partExpr is pushed to the scan, so
@@ -155,9 +155,17 @@ object Audit {
       if (done.isEmpty) df
       else df.where(!partKey.isin(done.toSeq: _*))
 
-    if (pending.isEmpty) None
+    val uniqueRules = rules.collect { case r: graft.rules.Unique => r }
+    // A DELETE-only drift leaves no pending rows yet still invalidates the
+    // GLOBAL uniqueness verdict (a duplicate whose twin vanished is a
+    // duplicate no more) — the uniqueness pass must re-run over the live
+    // table so the latest "(global)" row describes what was actually
+    // scanned. Only when nothing drifted AND nothing is pending is the
+    // resume a true no-op.
+    val globalRefreshNeeded = drifted.nonEmpty && uniqueRules.nonEmpty
+
+    if (pending.isEmpty && !globalRefreshNeeded) None
     else {
-      val uniqueRules = rules.collect { case r: graft.rules.Unique => r }
       val rowVios = ValidationEngine.rowPass(pending, rules, dims, cfg)
       val uniqVios = uniqueRules.map(r =>
         Uniqueness.duplicateKeyViolations(df, r)) // full table

@@ -174,7 +174,8 @@ case class WordShingleHashes(child: Expression, k: Int)
   * Gopher repetition signal, `TextFunctions.duplicateNgramFraction`'s hot
   * path). The higher-order-function formulation costs ~1.2 ms/row on
   * ~120-token docs (interpreted per array element); this loop is the same
-  * computation at ~10 µs/row — the difference between a feasible and an
+  * computation at ~2 µs/row warm (~600x; first run ~11 µs with plan
+  * overhead) — the difference between a feasible and an
   * infeasible per-doc quality pass at 10^12 docs (NgramProbe records the
   * measurement).
   *

@@ -132,8 +132,8 @@ object TextFunctions {
     * expression: the higher-order-function formulation (kept as
     * `duplicateNgramFractionHof`, the spec's independent reference)
     * measured ~1.2 ms/row on ~120-token docs — interpreted per array
-    * element — versus ~10 µs/row for the loop (NgramProbe; VERDICT r3
-    * item 6).
+    * element — versus ~2 µs/row warm for the loop, ~600x (NgramProbe;
+    * VERDICT r3 item 6).
     */
   def duplicateNgramFraction(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftColumnShim.column(
@@ -143,7 +143,7 @@ object TextFunctions {
   /** The original columnar HOF formulation of [[duplicateNgramFraction]] —
     * retained ONLY as the independently-derived parity reference for
     * TextFunctionsSpec (same role the DuckDB oracle plays driver-side).
-    * Do not use in pipelines: ~100x slower than the expression.
+    * Do not use in pipelines: ~600x slower than the expression.
     */
   private[graft] def duplicateNgramFractionHof(c: Column, n: Int): Column = {
     val toks = tokens(c)

@@ -29,7 +29,7 @@ object NgramProbe {
 
     // r4 measurements on this host (200k rows x ~120 tokens, local[32]):
     //   HOF formulation:   212-285 s  (~1.1-1.4 ms/row) — interpreted HOFs
-    //   tight-loop expr:   see below (~10 us/row)       — the shipped path
+    //   tight-loop expr:   0.35-0.40 s warm (~2 us/row) — the shipped path
     for (rep <- 1 to 3) {
       var t0 = System.nanoTime()
       val s1 = corpus.select(avg(TF.duplicateNgramFraction(col("text"), 3))).first().getDouble(0)

@@ -49,10 +49,14 @@ object TailProbe {
       df.queryExecution.executedPlan // analysis + optimization + planning
       val tPlan = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
-      val n = df.count()
+      // noop sink, NOT count(): count lets Catalyst prune unreferenced
+      // projections, so a projection-shaped entry would time a pruned scan
+      // instead of its real compute-dense work
+      df.write.format("noop").mode("overwrite").save()
       val tExec = (System.nanoTime() - t0) / 1e9
+      val n = df.count()
       println(f"[probe] $name rep$rep build=$tBuild%.2f plan=$tPlan%.2f " +
-        f"exec=$tExec%.2f rows=$n")
+        f"exec(noop)=$tExec%.2f rows=$n")
     }
     spark.stop()
   }

@@ -173,11 +173,20 @@ class AuditResumeSpec extends SparkSuite {
     assert(Audit.runIncremental(day1.unionByName(day2b), rules,
       Map.empty, cfg, dir, "run3").isEmpty)
 
-    // day1 is DELETED outright: nothing to re-validate, but its audit rows
-    // must not linger as a false resume watermark
-    assert(Audit.runIncremental(day2b, rules,
-      Map.empty, cfg, dir, "run4").isEmpty)
+    // day1 is DELETED outright: no rows to re-validate, but the GLOBAL
+    // uniqueness verdict must be refreshed over the shrunken table (a
+    // duplicate whose twin vanished is a duplicate no more) and day1's
+    // audit rows must not linger as a false resume watermark
+    val r4 = Audit.runIncremental(day2b, rules, Map.empty, cfg, dir, "run4")
+    assert(r4.isDefined)
+    val g4 = r4.get.verdicts
+      .where($"rule_id" === "unique_url").select("checked", "violations")
+      .as[(Long, Long)].collect().head
+    assert(g4 === ((3L, 0L))) // live table only; no stale duplicate claim
     assert(audit.validatedParts() === Set("2024-01-02"))
+    // and with counts consistent again, the next run is a true no-op
+    assert(Audit.runIncremental(day2b, rules,
+      Map.empty, cfg, dir, "run5").isEmpty)
   }
 
   test("property: incremental state after random drift equals a clean from-scratch run") {

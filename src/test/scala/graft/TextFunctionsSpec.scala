@@ -119,7 +119,7 @@ class TextFunctionsSpec extends SparkSuite {
   }
 
   test("tight-loop ngram fraction equals the HOF reference on adversarial inputs") {
-    // the expression replaced the HOF formulation for speed (~100x); the
+    // the expression replaced the HOF formulation for speed (~600x); the
     // HOF stays as the independently-derived parity reference. Inputs
     // stress the token contract: regex-\s whitespace runs (incl. a
     // vertical tab, which IS \s), short docs, repeats, unicode tokens,

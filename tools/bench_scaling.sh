@@ -12,6 +12,7 @@
 #
 # Usage: tools/bench_scaling.sh [N] [REPEATS] [STAGE] [OUTDIR]
 set -e
+set -o pipefail
 N=${1:-1}
 N4=$((N * 4))
 R=${2:-3}
@@ -33,7 +34,8 @@ run() { # $1=threads $2=rows $3=pad $4=out
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.sql.adaptive.enabled=true \
     $EXTRA \
-    --class graft.ScalingBench "$JAR" "$2" "$4" "$3" "$STAGE" 2>/dev/null | tail -1
+    --class graft.ScalingBench "$JAR" "$2" "$4" "$3" "$STAGE" 2>"$4.err" | tail -1
+  [ -s "$4" ] || { echo "RUN FAILED, stderr follows:"; cat "$4.err"; exit 1; }
 }
 
 decode() { # $1=threads $2=input $3=out
@@ -45,7 +47,8 @@ decode() { # $1=threads $2=input $3=out
   /opt/spark/bin/spark-submit --master "local[$1]" --driver-memory 20g \
     --conf spark.sql.files.maxPartitionBytes=16m \
     --conf spark.sql.parquet.columnarReaderBatchSize=$BATCH \
-    --class graft.tools.DecodeProbe "$JAR" "$2" 2>/dev/null | tail -1 > "$3"
+    --class graft.tools.DecodeProbe "$JAR" "$2" 2>"$3.err" | tail -1 > "$3"
+  [ -s "$3" ] || { echo "DECODE FAILED, stderr follows:"; cat "$3.err"; exit 1; }
   cat "$3"
 }
 

@@ -7,6 +7,7 @@
 #
 # Usage: tools/bench_scaling_4x.sh [N] [REPEATS] [OUTDIR]
 set -e
+set -o pipefail
 N=${1:-1}
 N4=$((N * 4))
 R=${2:-3}
@@ -23,7 +24,8 @@ run() { # $1=threads $2=rows $3=pad $4=out
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.sql.adaptive.enabled=true \
     $EXTRA \
-    --class graft.ScalingBench "$JAR" "$2" "$4" "$3" parquet 2>/dev/null | tail -1
+    --class graft.ScalingBench "$JAR" "$2" "$4" "$3" parquet 2>"$4.err" | tail -1
+  [ -s "$4" ] || { echo "RUN FAILED, stderr follows:"; cat "$4.err"; exit 1; }
   cat "$4"; echo
 }
 
