@@ -113,6 +113,13 @@ object Audit {
     * uniqueness verdict's `checked` count comes from those live counts (or,
     * on a first run, from this run's own profiles), so it always describes
     * the table the uniqueness pass actually scanned.
+    *
+    * KNOWN LIMIT of count-based detection: a rewrite that changes CONTENT
+    * while preserving the row count (an in-place UPDATE) is invisible. On
+    * plain parquet that requires a deliberate same-cardinality rewrite
+    * (compaction and late-arrival merges change counts); on Iceberg, key
+    * the comparison on the partition's snapshot/sequence id instead and
+    * every rewrite is visible.
     */
   def runIncremental(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
