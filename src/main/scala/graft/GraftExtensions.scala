@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, DuplicateNgramFraction, MinHashSignature, NearestCellsDyn, SimHash64, SrpBucket, WordShingleHashes}
+import graft.functions.{DotProduct, DuplicateNgramFraction, MinHashSignature, NearestCellsDyn, NfcNormalize, SimHash64, SrpBucket, WordShingleHashes}
 
 /** SQL registration for graft's custom Catalyst expressions, so the sketch
   * functions are usable from `spark.sql(...)` and `expr(...)` strings:
@@ -15,6 +15,7 @@ import graft.functions.{DotProduct, DuplicateNgramFraction, MinHashSignature, Ne
   *   srp_bucket(vec, planes, seed)      → bigint
   *   dot_product(a, b)                  → double
   *   dup_ngram_fraction(text, n)        → double
+  *   nfc_normalize(text)                → string
   *   nearest_cells_dyn(vec, matrix, n)  → array<int>
   *
   * Two entry points: `GraftFunctions.register(spark)` for an existing
@@ -71,7 +72,10 @@ object GraftFunctions {
     ("dup_ngram_fraction",
       new ExpressionInfo(classOf[DuplicateNgramFraction].getName, "dup_ngram_fraction"),
       (args: Seq[Expression]) => DuplicateNgramFraction(args.head,
-        intArg(args(1), "dup_ngram_fraction")))
+        intArg(args(1), "dup_ngram_fraction"))),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args.head))
   )
 
   /** Register on a live session (idempotent). */

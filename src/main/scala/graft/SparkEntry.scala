@@ -494,6 +494,33 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // Unicode NFC normalization over deterministically mixed composed/
+    // decomposed forms built from the documents table. The oracle runs
+    // DuckDB's OWN nfc_normalize over the same construction — two
+    // independent Unicode implementations (JDK Normalizer vs DuckDB's)
+    // must produce identical strings, lengths and already-normalized
+    // verdicts.
+    "q_nfc_normalize" -> ((s, dir) => {
+      import graft.text.{TextFunctions => TF}
+      val acute = 0x0301.toChar // combining acute accent
+      val eAcute = 0x00E9.toChar // precomposed e-acute
+      val diaer = 0x0308.toChar // combining diaeresis
+      val uUml = 0x00FC.toChar // precomposed u-umlaut
+      val id = col("doc_id").cast("string")
+      val raw = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("Cafe" + acute + " nr "), id))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("Caf" + eAcute + " nr "), id))
+        .otherwise(concat(lit("u" + diaer + "ber " + uUml + "ber "),
+          col("source")))
+      t(s, dir, "documents").select(
+        col("doc_id"), TF.nfcNormalize(raw).as("norm"),
+        length(raw).cast("long").as("len_raw"),
+        length(TF.nfcNormalize(raw)).cast("long").as("len_norm"),
+        (raw === TF.nfcNormalize(raw)).as("already_normalized"))
+        .stableSorted("doc_id")
+    }),
+
     // The END-TO-END corpus construction pass: exact dedup → near-dup
     // prune → quality gate → deterministic sample → stable shards, as one
     // composed pipeline with a per-stage survivor report. Every stage is
@@ -1533,6 +1560,22 @@ object SparkEntry {
     // rounded to 4 so the threshold compares a bit-stable value), and the
     // engine's exact fire conditions (Required: IS NULL; Allowed: NOT NULL
     // AND NOT IN; ExprRule: NOT coalesce(pred, FALSE))
+    // DuckDB's independent NFC implementation over the same construction
+    "q_nfc_normalize" ->
+      """WITH m AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'Cafe' || chr(769) || ' nr ' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1
+                THEN 'Caf' || chr(233) || ' nr ' || CAST(doc_id AS VARCHAR)
+                ELSE 'u' || chr(776) || 'ber ' || chr(252) || 'ber ' || source
+           END AS raw
+         FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS norm,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_norm,
+           raw = nfc_normalize(raw) AS already_normalized
+         FROM m ORDER BY doc_id""",
+
     // the end-to-end pipeline funnel re-derived stage by stage:
     // canonical-text groups (== fingerprint groups absent 2^-64
     // collisions), greedy b-side near-dup drops from exact Jaccard

@@ -101,6 +101,14 @@ object TextFunctions {
     (lenScore * 0.3 + swScore * 0.3 + punctPenalty * 0.2 + digitPenalty * 0.2)
   }
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]]): run
+    * before [[fingerprint]]/dedup on corpora that aren't known-ASCII, so
+    * composed and decomposed forms of the same text collide like they
+    * should. Null passes through.
+    */
+  def nfcNormalize(c: Column): Column =
+    graft.functions.UnicodeExpressions.nfcNormalize(c)
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Canonical-form document fingerprint: xxhash64 of lowercased,

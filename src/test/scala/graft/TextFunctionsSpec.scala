@@ -144,6 +144,30 @@ class TextFunctionsSpec extends SparkSuite {
     }
   }
 
+  test("NFC normalization: composed == decomposed, idempotent, null-safe") {
+    val acute = 0x0301.toChar
+    val eAcute = 0x00E9.toChar
+    val df = Seq(
+      (1, "Cafe" + acute), (2, "Caf" + eAcute), (3, "plain ascii"),
+      (4, null.asInstanceOf[String]))
+      .toDF("i", "t")
+    val got = df.select($"i", TF.nfcNormalize($"t").as("n"),
+        TF.nfcNormalize(TF.nfcNormalize($"t")).as("nn"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1),
+         if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got(1)._1 === got(2)._1) // forms collide after NFC
+    assert(got(1)._1 === "Caf" + eAcute)
+    assert(got.values.forall { case (a, b) => a == b }) // idempotent
+    assert(got(3)._1 === "plain ascii")
+    assert(got(4)._1 === null)
+    // the whole point: fingerprints of equivalent forms now collide
+    val fps = df.where($"i" <= 2)
+      .select(TF.fingerprint(TF.nfcNormalize($"t")).as("fp"))
+      .as[Long].collect()
+    assert(fps(0) === fps(1))
+  }
+
   test("PII scrub masks emails and phone numbers, idempotent") {
     def mp(s: String): String =
       Seq(s).toDF("t").select(TF.maskPii($"t").as("r"))
