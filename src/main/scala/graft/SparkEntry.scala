@@ -1692,9 +1692,19 @@ object SparkEntry {
              + len(regexp_extract_all(coalesce(text,''), '(?i)\b(le|la|les|et|est|une|dans|que|pour|pas)\b')) AS sw,
            length(coalesce(text,'')) AS nch,
            len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N}\s]')) AS punct,
-           len(regexp_extract_all(coalesce(text,''), '[\p{N}]')) AS dig
+           len(regexp_extract_all(coalesce(text,''), '[\p{N}]')) AS dig,
+           len(regexp_extract_all(coalesce(text,''), '#'))
+             + len(regexp_extract_all(coalesce(text,''), '\.\.\.')) AS syms,
+           len(regexp_extract_all(coalesce(text,''), '(?m)^\s*\S')) AS nbl,
+           len(regexp_extract_all(coalesce(text,''), '(?m)^[ \t]*[-*•]')) AS bul,
+           len(regexp_extract_all(coalesce(text,''), '(?m)(\.\.\.|…)[ \t]*$')) AS ell,
+           len(regexp_extract_all(coalesce(text,''), '(^|\s)[^\s]*\p{L}')) AS alphaw
          FROM documents),
          sig AS (SELECT source, text, lang, toks,
+           CASE WHEN toks = 0 THEN 0.0 ELSE syms * 1.0 / toks END AS symr,
+           CASE WHEN nbl = 0 THEN 0.0 ELSE bul * 1.0 / nbl END AS bulf,
+           CASE WHEN nbl = 0 THEN 0.0 ELSE ell * 1.0 / nbl END AS ellf,
+           CASE WHEN toks = 0 THEN 1.0 ELSE alphaw * 1.0 / toks END AS alphaf,
            CASE WHEN len(lines) = 0 THEN 0.0
                 ELSE (len(lines) - len(list_distinct(lines))) * 1.0
                      / len(lines) END AS dlf,
@@ -1719,7 +1729,11 @@ object SparkEntry {
            CAST(sum(CASE WHEN NOT coalesce(dgf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dgf,
            CAST(sum(CASE WHEN lang IS NOT NULL
                 AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
-           CAST(sum(CASE WHEN NOT coalesce(q >= 0.25, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_q
+           CAST(sum(CASE WHEN NOT coalesce(q >= 0.25, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_q,
+           CAST(sum(CASE WHEN NOT coalesce(symr <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_sym,
+           CAST(sum(CASE WHEN NOT coalesce(bulf <= 0.9, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_bul,
+           CAST(sum(CASE WHEN NOT coalesce(ellf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_ell,
+           CAST(sum(CASE WHEN NOT coalesce(alphaf >= 0.8, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha
          FROM sig GROUP BY 1)
          SELECT part, rule_id, checked, violations, violations = 0 AS pass
          FROM (
@@ -1728,7 +1742,11 @@ object SparkEntry {
            UNION ALL SELECT part, 'max_dup_line_frac', checked, v_dlf FROM per
            UNION ALL SELECT part, 'max_dup_3gram_frac', checked, v_dgf FROM per
            UNION ALL SELECT part, 'lang_allowed', checked, v_lang FROM per
-           UNION ALL SELECT part, 'min_quality', checked, v_q FROM per)
+           UNION ALL SELECT part, 'min_quality', checked, v_q FROM per
+           UNION ALL SELECT part, 'max_symbol_ratio', checked, v_sym FROM per
+           UNION ALL SELECT part, 'max_bullet_lines', checked, v_bul FROM per
+           UNION ALL SELECT part, 'max_ellipsis_lines', checked, v_ell FROM per
+           UNION ALL SELECT part, 'min_alpha_words', checked, v_alpha FROM per)
          ORDER BY part, rule_id""",
 
     // Deterministic sampling family: a TRUE re-derivation, not a recorded

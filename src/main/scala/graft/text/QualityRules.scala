@@ -29,7 +29,11 @@ object QualityRules {
       TF.tokenCount(col("text")).cast("long").as("n_tokens"),
       TF.duplicateLineFraction(col("text")).as("dup_line_frac"),
       TF.duplicateNgramFraction(col("text"), 3).as("dup_3gram_frac"),
-      round(TF.qualityScore(col("text")), 4).as("quality"))
+      round(TF.qualityScore(col("text")), 4).as("quality"),
+      TF.symbolToWordRatio(col("text")).as("symbol_word_ratio"),
+      TF.bulletLineFraction(col("text")).as("bullet_line_frac"),
+      TF.ellipsisLineFraction(col("text")).as("ellipsis_line_frac"),
+      TF.alphaWordFraction(col("text")).as("alpha_word_frac"))
   }
 
   /** The filter catalog. Severity "error" = drop the doc; "warn" = keep
@@ -51,5 +55,19 @@ object QualityRules {
     Allowed("lang_allowed", "lang", allowedLangs),
     ExprRule("min_quality", "quality", s"quality >= $minQuality",
       severity = "warn",
-      message = s"quality score below $minQuality"))
+      message = s"quality score below $minQuality"),
+    // Gopher auxiliary gates (Rae et al. 2021 §A1.1 thresholds), WARN
+    // severity: flag-and-keep here, promote to error per deployment
+    ExprRule("max_symbol_ratio", "symbol_word_ratio",
+      "symbol_word_ratio <= 0.1", severity = "warn",
+      message = "too many #/ellipsis symbols per word"),
+    ExprRule("max_bullet_lines", "bullet_line_frac",
+      "bullet_line_frac <= 0.9", severity = "warn",
+      message = "mostly bullet lines (nav/listing boilerplate)"),
+    ExprRule("max_ellipsis_lines", "ellipsis_line_frac",
+      "ellipsis_line_frac <= 0.3", severity = "warn",
+      message = "too many lines end in an ellipsis (truncated previews)"),
+    ExprRule("min_alpha_words", "alpha_word_frac",
+      "alpha_word_frac >= 0.8", severity = "warn",
+      message = "too few words contain a letter"))
 }

@@ -101,6 +101,60 @@ object TextFunctions {
     (lenScore * 0.3 + swScore * 0.3 + punctPenalty * 0.2 + digitPenalty * 0.2)
   }
 
+  // --- Gopher auxiliary quality signals (Rae et al. 2021 §A1.1) --------
+
+  /** '#' characters and '...' runs per word — Gopher drops > 0.1. Pure
+    * regexp counts; 0 for token-less docs.
+    */
+  def symbolToWordRatio(c: Column): Column = {
+    val toks = tokenCount(c)
+    val symbols = regexp_count(coalesce(c, lit("")), lit("#")) +
+      regexp_count(coalesce(c, lit("")), lit("\\.\\.\\."))
+    when(toks === 0, 0.0).otherwise(symbols.cast("double") / toks)
+  }
+
+  /** Non-blank line count as ONE multiline regexp_count — no higher-order
+    * functions (a `filter` lambda would drop the whole signal projection
+    * to interpreted eval). `(?m)^\s*\S` matches exactly once per
+    * non-blank line: anchored at a line start, it consumes through that
+    * line's first non-ws char, and the next scan resumes past it.
+    */
+  private def nonBlankLineCount(c: Column): Column =
+    regexp_count(coalesce(c, lit("")), lit("(?m)^\\s*\\S"))
+
+  /** Fraction of non-blank lines that start with a bullet marker — Gopher
+    * drops > 0.9 (nav/listing boilerplate). 0 for empty docs.
+    */
+  def bulletLineFraction(c: Column): Column = {
+    val lines = nonBlankLineCount(c)
+    val bullets = regexp_count(coalesce(c, lit("")),
+      lit("(?m)^[ \\t]*[-*•]"))
+    when(lines === 0, 0.0).otherwise(bullets.cast("double") / lines)
+  }
+
+  /** Fraction of non-blank lines ending in an ellipsis — Gopher drops
+    * > 0.3 (truncated scraped previews). 0 for empty docs.
+    */
+  def ellipsisLineFraction(c: Column): Column = {
+    val lines = nonBlankLineCount(c)
+    val ell = regexp_count(coalesce(c, lit("")),
+      lit("(?m)(\\.\\.\\.|…)[ \\t]*$"))
+    when(lines === 0, 0.0).otherwise(ell.cast("double") / lines)
+  }
+
+  /** Fraction of words containing at least one letter — Gopher keeps
+    * >= 0.8. Counted with a lookbehind-FREE regex ((^|\s)\S*\p{L}: each
+    * match consumes through its token's last letter, so one match per
+    * lettered token) — the same pattern runs under Java regex here and
+    * RE2 in the DuckDB oracle. 1.0 for token-less docs (nothing violates).
+    */
+  def alphaWordFraction(c: Column): Column = {
+    val toks = tokenCount(c)
+    val lettered = regexp_count(coalesce(c, lit("")),
+      lit("(^|\\s)[^\\s]*\\p{L}"))
+    when(toks === 0, 1.0).otherwise(lettered.cast("double") / toks)
+  }
+
   /** Unicode NFC normalization ([[graft.functions.NfcNormalize]]): run
     * before [[fingerprint]]/dedup on corpora that aren't known-ASCII, so
     * composed and decomposed forms of the same text collide like they

@@ -144,6 +144,30 @@ class TextFunctionsSpec extends SparkSuite {
     }
   }
 
+  test("Gopher auxiliary signals: symbols, bullets, ellipses, alpha words") {
+    val df = Seq(
+      ("clean prose with regular words only here", "clean"),
+      ("### price ### list ### now", "symbols"),          // 9 '#' / 6 words (### are words too)
+      ("- one\n- two\n- three\nheader", "bullets"),        // 3/4 bullet lines
+      ("read more...\nsee details...\nplain line", "ellipsis"), // 2/3
+      ("12 34 56 78 word", "numbers"),                     // 1/5 lettered
+      ("", "empty")
+    ).toDF("text", "tag")
+    val got = df.select($"tag",
+        TF.symbolToWordRatio($"text").as("sym"),
+        TF.bulletLineFraction($"text").as("bul"),
+        TF.ellipsisLineFraction($"text").as("ell"),
+        TF.alphaWordFraction($"text").as("alpha"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("clean") === ((0.0, 0.0, 0.0, 1.0)))
+    assert(got("symbols")._1 === 9.0 / 6.0) // '#' chars per word
+    assert(got("bullets")._2 === 0.75)
+    assert(math.abs(got("ellipsis")._3 - 2.0 / 3.0) < 1e-12)
+    assert(got("numbers")._4 === 0.2)
+    assert(got("empty") === ((0.0, 0.0, 0.0, 1.0))) // token-less: alpha vacuously 1
+  }
+
   test("NFC normalization: composed == decomposed, idempotent, null-safe") {
     val acute = 0x0301.toChar
     val eAcute = 0x00E9.toChar
