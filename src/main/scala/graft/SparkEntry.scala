@@ -494,6 +494,28 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // WET (WARC conversion) source round trip: the documents table is
+    // rendered as real Content-Length-framed WET files (deterministic
+    // bytes), read back through the framed parser, and the reconstructed
+    // rows are checked against the source table re-derived directly in
+    // DuckDB — any framing, encoding or date-format error breaks the
+    // match. The parser survives payloads containing WARC-lookalike
+    // header lines (WetFilesSpec), which delimiter-split parsing cannot.
+    "q_wet_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id")).as("url"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") * 797L)
+          .as("warc_ts"),
+        coalesce(col("text"), lit("")).as("text"))
+      val out = java.nio.file.Files.createTempDirectory("graft_wet").toString
+      graft.sources.WetFiles.write(docs, out, nFiles = 4)
+      graft.sources.WetFiles.read(s, out)
+        .select(col("url"), col("warc_ts"),
+          length(col("text")).cast("long").as("n_chars"))
+        .stableSorted("url")
+    }),
+
     // Unicode NFC normalization over deterministically mixed composed/
     // decomposed forms built from the documents table. The oracle runs
     // DuckDB's OWN nfc_normalize over the same construction — two
@@ -1560,6 +1582,16 @@ object SparkEntry {
     // rounded to 4 so the threshold compares a bit-stable value), and the
     // engine's exact fire conditions (Required: IS NULL; Allowed: NOT NULL
     // AND NOT IN; ExprRule: NOT coalesce(pred, FALSE))
+    // the WET round trip must land exactly on the source table re-derived
+    // directly (url construction, epoch-arithmetic timestamps, text
+    // lengths) — no WET parsing in the oracle, the FORMAT is what's tested
+    "q_wet_roundtrip" ->
+      """SELECT 'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         make_timestamp((1704067200 + doc_id * 797) * 1000000) AS warc_ts,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+         FROM documents ORDER BY url""",
+
     // DuckDB's independent NFC implementation over the same construction
     "q_nfc_normalize" ->
       """WITH m AS (SELECT doc_id,

@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WET (WARC conversion-record) source/sink — the format Common-Crawl text
+  * extracts actually arrive in, so a user can point the engine at a crawl
+  * drop without a pre-conversion step.
+  *
+  * Reading is CONTENT-LENGTH FRAMED, exactly like the spec (ISO 28500):
+  * each record is a header block (terminated by a blank line) whose
+  * `Content-Length` gives the payload's BYTE length; the payload may
+  * contain anything, including lines that look like record headers — a
+  * delimiter-split parser corrupts on such payloads, a framed parser
+  * cannot. Files parse independently (one WET file = one parse unit,
+  * matching Common Crawl's ~1 GB segment grain), via `binaryFile` +
+  * `mapPartitions` — the same justified codec-boundary shape as the
+  * multimodal decode: the framing is inherently sequential WITHIN a file,
+  * the parallelism is ACROSS files, and everything after the parse is
+  * ordinary columnar Spark.
+  *
+  * The writer renders the same framing deterministically (records
+  * hash-assigned to files by url, sorted within each file), so
+  * write→read round-trips bit-exactly — which is what the driver oracle
+  * checks against the source table (`q_wet_roundtrip`).
+  */
+object WetFiles {
+
+  private val HeaderEnd = "\r\n\r\n".getBytes(UTF_8)
+
+  /** Render one conversion record: WARC/1.0 headers + framed payload. */
+  private def renderRecord(url: String, isoDate: String,
+      text: String): Array[Byte] = {
+    val payload = (if (text == null) "" else text).getBytes(UTF_8)
+    val header =
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $isoDate\r\nContent-Length: ${payload.length}\r\n\r\n"
+    val h = header.getBytes(UTF_8)
+    val out = new Array[Byte](h.length + payload.length + 4)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(payload, 0, out, h.length, payload.length)
+    out(h.length + payload.length) = '\r'
+    out(h.length + payload.length + 1) = '\n'
+    out(h.length + payload.length + 2) = '\r'
+    out(h.length + payload.length + 3) = '\n'
+    out
+  }
+
+  /** Write `docs` (url, warc_ts, text) as `nFiles` WET files under `dir`.
+    * Deterministic: records are hash-assigned to files by url and sorted
+    * by url within each file, so the same table always produces the same
+    * bytes regardless of input partitioning.
+    */
+  def write(docs: DataFrame, dir: String, nFiles: Int): Unit = {
+    val spark = docs.sparkSession
+    // Hadoop Configuration is not serializable; Spark's wrapper ships it
+    // to tasks so FS-scheme settings (s3a creds etc.) survive
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    docs.select(col("url"),
+        date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"),
+        col("text"))
+      .repartition(nFiles, pmod(xxhash64(col("url")), lit(nFiles.toLong)))
+      .sortWithinPartitions(col("url"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.wet")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(path, true)
+        try it.foreach { r =>
+          out.write(renderRecord(r.getString(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2)))
+        } finally out.close()
+      }
+  }
+
+  /** Parse one WET file's bytes into (url, iso date, text) records. */
+  private[graft] def parse(bytes: Array[Byte])
+      : Iterator[(String, String, String)] = new Iterator[(String, String, String)] {
+    private var pos = 0
+    private def indexOfHeaderEnd(from: Int): Int = {
+      var i = from
+      while (i + 3 < bytes.length) {
+        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+            bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    private def skipSeparators(): Unit =
+      while (pos < bytes.length &&
+        (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+
+    skipSeparators()
+    override def hasNext: Boolean = pos < bytes.length
+    override def next(): (String, String, String) = {
+      val he = indexOfHeaderEnd(pos)
+      require(he >= 0, s"unterminated WARC header block at byte $pos")
+      val header = new String(bytes, pos, he - pos, UTF_8)
+      require(header.startsWith("WARC/1.0"),
+        s"record at byte $pos does not start with WARC/1.0")
+      def field(name: String): Option[String] =
+        header.split("\r\n").collectFirst {
+          case l if l.startsWith(name + ":") => l.drop(name.length + 1).trim
+        }
+      val url = field("WARC-Target-URI").getOrElse(
+        sys.error(s"missing WARC-Target-URI at byte $pos"))
+      val date = field("WARC-Date").getOrElse("")
+      val len = field("Content-Length").map(_.toInt).getOrElse(
+        sys.error(s"missing Content-Length at byte $pos"))
+      val payloadStart = he + HeaderEnd.length
+      require(payloadStart + len <= bytes.length,
+        s"truncated payload at byte $payloadStart (want $len)")
+      val text = new String(bytes, payloadStart, len, UTF_8)
+      pos = payloadStart + len
+      skipSeparators()
+      (url, date, text)
+    }
+  }
+
+  /** Read a directory of WET files as (url, warc_ts, text). One task per
+    * file (the framing is sequential within a file); everything downstream
+    * is columnar.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.wet")
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(parse))
+      .toDF("url", "iso", "text")
+      .select(col("url"),
+        to_timestamp(col("iso"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_ts"),
+        col("text"))
+  }
+}
