@@ -494,6 +494,36 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // JSONL ingest with corrupt-record quarantine: the documents table is
+    // serialized to JSONL, deterministic garbage lines are interleaved
+    // (one per doc_id % 50 == 0), and the PERMISSIVE+quarantine reader
+    // must split good rows (schema intact, values round-tripped) from
+    // quarantined raw lines — bad input is DATA, not an exception. The
+    // oracle re-derives every count and the good-row n_chars sum from the
+    // source table arithmetic.
+    "q_jsonl_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+      val jsonLines = docs.select(to_json(struct(
+        col("doc_id"), col("text"), col("lang"), col("source"))).as("value"))
+      val garbage = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(concat(lit("{broken json for doc "),
+          col("doc_id").cast("string")).as("value"))
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      jsonLines.unionByName(garbage).write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType)))
+      val (good, bad) = graft.sources.JsonlFiles.read(s, out, schema)
+      val stats = Seq(
+        ("good_rows", good.agg(count(lit(1))).first().getLong(0)),
+        ("quarantined", bad.agg(count(lit(1))).first().getLong(0)),
+        ("good_nchars", good.agg(coalesce(sum(length(col("text"))),
+          lit(0L)).cast("long")).first().getLong(0)))
+      import s.implicits._
+      stats.toDF("metric", "n").stableSorted("metric")
+    }),
+
     // WET (WARC conversion) source round trip: the documents table is
     // rendered as real Content-Length-framed WET files (deterministic
     // bytes), read back through the framed parser, and the reconstructed
@@ -1582,6 +1612,21 @@ object SparkEntry {
     // rounded to 4 so the threshold compares a bit-stable value), and the
     // engine's exact fire conditions (Required: IS NULL; Allowed: NOT NULL
     // AND NOT IN; ExprRule: NOT coalesce(pred, FALSE))
+    // ingest-stats arithmetic straight off the source table: every doc is
+    // one good line, every doc_id % 50 == 0 adds one garbage line
+    "q_jsonl_ingest" ->
+      """SELECT metric, n FROM (
+           SELECT 'good_rows' AS metric, CAST(count(*) AS BIGINT) AS n
+           FROM documents
+           UNION ALL
+           SELECT 'quarantined', CAST(count(*) AS BIGINT)
+           FROM documents WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT 'good_nchars',
+             CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+           FROM documents)
+         ORDER BY metric""",
+
     // the WET round trip must land exactly on the source table re-derived
     // directly (url construction, epoch-arithmetic timestamps, text
     // lengths) — no WET parsing in the oracle, the FORMAT is what's tested
