@@ -494,6 +494,18 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // EXACT connected components over the near-dup pair graph (the
+    // alternative to greedy b-side dropping for chain-shaped clusters) —
+    // min-label propagation in Spark, oracled against a DuckDB RECURSIVE
+    // CTE computing min-reachable-id over the exact-Jaccard pair graph.
+    "q_dedup_components" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.minHashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.35, numHashes = 64, bands = 21,
+        maxBucketSize = 200)
+      graft.dedup.Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .stableSorted("id")
+    }),
+
     // JSONL ingest with corrupt-record quarantine: the documents table is
     // serialized to JSONL, deterministic garbage lines are interleaved
     // (one per doc_id % 50 == 0), and the PERMISSIVE+quarantine reader
@@ -1612,6 +1624,36 @@ object SparkEntry {
     // rounded to 4 so the threshold compares a bit-stable value), and the
     // engine's exact fire conditions (Required: IS NULL; Allowed: NOT NULL
     // AND NOT IN; ExprRule: NOT coalesce(pred, FALSE))
+    // exact components as min-reachable-id via a RECURSIVE CTE over the
+    // exact-Jaccard pair graph (same pair derivation as q_minhash_lsh)
+    "q_dedup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(
+                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+           FROM toks),
+         cp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         gp AS (SELECT a_id, b_id FROM cp
+           WHERE u > 0 AND i * 1.0 / u >= 0.35),
+         edges AS (SELECT a_id AS a, b_id AS b FROM gp
+           UNION SELECT b_id, a_id FROM gp),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT rc.id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)
+         SELECT id, CAST(min(r) AS BIGINT) AS comp
+         FROM reach GROUP BY id ORDER BY id""",
+
     // ingest-stats arithmetic straight off the source table: every doc is
     // one good line, every doc_id % 50 == 0 adds one garbage line
     "q_jsonl_ingest" ->

@@ -103,4 +103,24 @@ class DedupSpec extends SparkSuite {
     assert(pairs((1L, 3L)) <= 16L)
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
+
+  test("connected components: chains label exactly, greedy over-drop case resolved") {
+    // components {1,2,3} (CHAIN: 1-2, 2-3, no 1-3 edge — greedy b-side
+    // dropping would drop 2 AND 3 even though 3's only near-dup is
+    // gone), {10,11}, and a 6-node chain to exercise multi-round
+    // convergence (diameter 5)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L))
+    // partitioning invariance
+    val comp2 = Dedup.connectedComponents(pairs.repartition(7), "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp2 === comp)
+  }
 }
