@@ -49,8 +49,15 @@ object CorpusPipeline {
       langCol: String, partCol: String,
       nearDupThreshold: Double = 0.35, sampleRate: Double = 0.5,
       nShards: Int = 8,
+      // "greedy" (default): drop every pair's larger id — one anti-join,
+      // may over-drop chain clusters. "components": exact — keep the one
+      // minimum id of every connected component
+      // ([[graft.dedup.Dedup.connectedComponents]]); costs the label
+      // propagation rounds.
+      nearDupStrategy: String = "greedy",
       materialize: DataFrame => DataFrame = _.localCheckpoint(false))
       : (DataFrame, DataFrame) = {
+    require(Set("greedy", "components")(nearDupStrategy), nearDupStrategy)
 
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"), col(langCol).as("lang"),
@@ -64,12 +71,18 @@ object CorpusPipeline {
       .where(col("doc_id") === col("_keep_id"))
       .drop("_fp", "_keep_id"))
 
-    // 2. near-dup prune: greedy drop of each pair's larger id
+    // 2. near-dup prune
     val nearPairs = Dedup.minHashNearDups(keepExact, "doc_id", "text",
       threshold = nearDupThreshold, numHashes = 64, bands = 21,
       maxBucketSize = 200)
-    val keepNear = materialize(keepExact.join(
-      nearPairs.select(col("b_id").as("doc_id")).distinct(),
+    val nearDrops =
+      if (nearDupStrategy == "greedy")
+        nearPairs.select(col("b_id").as("doc_id")).distinct()
+      else // exact: every component member except its minimum id
+        Dedup.connectedComponents(nearPairs, "a_id", "b_id")
+          .where(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+    val keepNear = materialize(keepExact.join(nearDrops,
       Seq("doc_id"), "left_anti"))
 
     // 3. quality gate: error-severity violations drop the doc

@@ -43,6 +43,32 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(shards.values.forall(sh => sh >= 0 && sh < 8))
   }
 
+  test("components strategy keeps one representative per chain cluster (greedy may over-drop)") {
+    // chain: 8 near-dups 9, 9 near-dups 10, but 8 and 10 differ enough
+    // that greedy (drop all b-sides) and components (keep min per
+    // component) agree here on keeping only 8 — the invariant to pin is
+    // that components NEVER keeps more than one member per component and
+    // keeps exactly the minimum id
+    val chain = corpus.unionByName(Seq(
+      (8L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi", "en", "s2"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu pi", "en", "s2"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu rho pi", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val (keptG, _) = CorpusPipeline.build(chain,
+      "doc_id", "text", "lang", "source", sampleRate = 1.0)
+    val (keptC, _) = CorpusPipeline.build(chain,
+      "doc_id", "text", "lang", "source", sampleRate = 1.0,
+      nearDupStrategy = "components")
+    val g = keptG.select("doc_id").as[Long].collect().toSet
+    val c = keptC.select("doc_id").as[Long].collect().toSet
+    // both keep the chain's minimum exactly once
+    assert(c.contains(8L) && !c.contains(9L) && !c.contains(10L))
+    assert(g.contains(8L) && !g.contains(9L) && !g.contains(10L))
+    // and components equals greedy on the original corpus too (its
+    // clusters are transitively closed)
+    assert(c === g)
+  }
+
   test("kept set is invariant to input partitioning") {
     val (k1, _) = CorpusPipeline.build(corpus.repartition(7),
       "doc_id", "text", "lang", "source", sampleRate = 0.6)
