@@ -526,12 +526,14 @@ object SparkEntry {
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType)))
-      val (good, bad) = graft.sources.JsonlFiles.read(s, out, schema)
+      val ingest = graft.sources.JsonlFiles.read(s, out, schema)
       val stats = Seq(
-        ("good_rows", good.agg(count(lit(1))).first().getLong(0)),
-        ("quarantined", bad.agg(count(lit(1))).first().getLong(0)),
-        ("good_nchars", good.agg(coalesce(sum(length(col("text"))),
+        ("good_rows", ingest.good.agg(count(lit(1))).first().getLong(0)),
+        ("quarantined",
+          ingest.quarantined.agg(count(lit(1))).first().getLong(0)),
+        ("good_nchars", ingest.good.agg(coalesce(sum(length(col("text"))),
           lit(0L)).cast("long")).first().getLong(0)))
+      ingest.release()
       import s.implicits._
       stats.toDF("metric", "n").stableSorted("metric")
     }),
@@ -1813,10 +1815,11 @@ object SparkEntry {
            len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N}\s]')) AS punct,
            len(regexp_extract_all(coalesce(text,''), '[\p{N}]')) AS dig,
            len(regexp_extract_all(coalesce(text,''), '#'))
-             + len(regexp_extract_all(coalesce(text,''), '\.\.\.')) AS syms,
+             + len(regexp_extract_all(coalesce(text,''), '\.\.\.'))
+             + len(regexp_extract_all(coalesce(text,''), '…')) AS syms,
            len(regexp_extract_all(coalesce(text,''), '(?m)^\s*\S')) AS nbl,
            len(regexp_extract_all(coalesce(text,''), '(?m)^[ \t]*[-*•]')) AS bul,
-           len(regexp_extract_all(coalesce(text,''), '(?m)(\.\.\.|…)[ \t]*$')) AS ell,
+           len(regexp_extract_all(coalesce(text,''), '(?m)(\.\.\.|…)[ \t\r]*$')) AS ell,
            len(regexp_extract_all(coalesce(text,''), '(^|\s)[^\s]*\p{L}')) AS alphaw
          FROM documents),
          sig AS (SELECT source, text, lang, toks,

@@ -327,11 +327,15 @@ object Dedup {
           (col("nmin").isNotNull && col("nmin") < col("comp")).as("_chg"))
       val mat = next.localCheckpoint(true)
       changed = mat.where(col("_chg")).count()
+      // release the superseded round's blocks — otherwise the loop pins
+      // rounds x |labels| of storage for the session's lifetime
+      labels.unpersist()
       labels = mat.drop("_chg")
       i += 1
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds")
+    edges.unpersist()
     labels
   }
 }

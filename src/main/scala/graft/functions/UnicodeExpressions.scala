@@ -15,9 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * not known to be ASCII.
   *
   * Wraps `java.text.Normalizer` (JDK NFC) as a null-safe expression with
-  * an `isNormalized` fast path, so the dominant already-normalized case
-  * costs one scan and zero allocation. The driver oracle re-derives it
-  * with DuckDB's OWN independent `nfc_normalize` implementation — the
+  * two fast paths: pure-ASCII input (numBytes == numChars on the
+  * UTF8String — NFC is the identity there) returns the input with NO
+  * String materialization at all, and non-ASCII input that
+  * `isNormalized` reports clean skips the normalized-copy allocation
+  * (the String conversion for the check itself is unavoidable).
+  * CodegenFallback is deliberate: the body is one JDK library call, not
+  * a loop codegen could fuse. The driver oracle re-derives results with
+  * DuckDB's OWN independent `nfc_normalize` implementation — the
   * same-answer check spans two unrelated Unicode libraries.
   */
 case class NfcNormalize(child: Expression)
@@ -26,13 +31,13 @@ case class NfcNormalize(child: Expression)
   override def dataType: DataType = StringType
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) {
-      input.asInstanceOf[UTF8String]
-    } else {
-      UTF8String.fromString(
-        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-    }
+    val u = input.asInstanceOf[UTF8String]
+    // ASCII (1 byte per char) is NFC by definition: skip even the String
+    if (u.numBytes == u.numChars) return u
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

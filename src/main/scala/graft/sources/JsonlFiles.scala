@@ -24,12 +24,18 @@ object JsonlFiles {
 
   val CorruptCol = "_corrupt_record"
 
-  /** Read `path` as JSONL under `schema`. Returns (good, quarantined):
-    * good rows carry the schema's columns; quarantined rows carry the raw
-    * malformed line.
+  /** The split ingest: `good` rows under the declared schema, `quarantined`
+    * raw lines for triage, and `release()` to drop the backing cache once
+    * both sides are consumed (the cache exists only for SPARK-21610; a
+    * long-lived session ingesting many corpora must release it or pin one
+    * full parsed copy per call).
     */
+  final case class JsonlIngest(good: DataFrame, quarantined: DataFrame,
+      release: () => Unit)
+
+  /** Read `path` as JSONL under `schema`. */
   def read(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): JsonlIngest = {
     val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
     val raw = spark.read
       .schema(withCorrupt)
@@ -41,6 +47,6 @@ object JsonlFiles {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = raw.where(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    (good, bad)
+    JsonlIngest(good, bad, () => { raw.unpersist(); () })
   }
 }

@@ -58,28 +58,61 @@ object WetFiles {
     // to tasks so FS-scheme settings (s3a creds etc.) survive
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    docs.select(col("url"),
-        date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"),
-        col("text"))
-      .repartition(nFiles, pmod(xxhash64(col("url")), lit(nFiles.toLong)))
+    // clear stale part files first: a previous write with a larger nFiles
+    // would otherwise leave files the read glob silently picks up
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dirFs.exists(dirPath)) {
+      dirFs.globStatus(new org.apache.hadoop.fs.Path(dir, "*.warc.wet*"))
+        .foreach(st => dirFs.delete(st.getPath, false))
+    }
+    docs.select(col("url"), col("warc_ts"), col("text"))
+      .repartition(nFiles, col("url"))
       .sortWithinPartitions(col("url"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
         val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.wet")
+        // temp-write + rename: a speculative or retried task never
+        // interleaves bytes into the live file
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$dir/.part-$pid%05d.$attempt%d.tmp")
         val fs = path.getFileSystem(conf.value)
-        val out = fs.create(path, true)
+        val out = fs.create(tmp, true)
         try it.foreach { r =>
-          out.write(renderRecord(r.getString(0), r.getString(1),
+          // WARC-Date is an INSTANT: format from epoch in the JVM, never
+          // through session-timezone string conversion
+          val iso = java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+            r.getTimestamp(1).toInstant
+              .truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+          out.write(renderRecord(r.getString(0), iso,
             if (r.isNullAt(2)) null else r.getString(2)))
         } finally out.close()
+        if (!fs.rename(tmp, path)) {
+          fs.delete(tmp, false)
+          if (!fs.exists(path))
+            sys.error(s"WET write: rename failed for $path")
+        }
       }
   }
 
-  /** Parse one WET file's bytes into (url, iso date, text) records. */
-  private[graft] def parse(bytes: Array[Byte])
-      : Iterator[(String, String, String)] = new Iterator[(String, String, String)] {
-    private var pos = 0
-    private def indexOfHeaderEnd(from: Int): Int = {
+  /** Parse one WET file's bytes into (url, epochSeconds, text) CONVERSION
+    * records. Non-conversion records (the `warcinfo` prologue every real
+    * Common-Crawl WET file starts with) are frame-skipped via their own
+    * Content-Length, not errors. Gzipped input (the actual distribution
+    * format, `.warc.wet.gz`) is detected by magic bytes and inflated
+    * first.
+    */
+  private[graft] def parse(raw: Array[Byte])
+      : Iterator[(String, Long, String)] = {
+    val bytes =
+      if (raw.length >= 2 && (raw(0) & 0xFF) == 0x1F && (raw(1) & 0xFF) == 0x8B) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try in.readAllBytes() finally in.close()
+      } else raw
+
+    def indexOfHeaderEnd(from: Int): Int = {
       var i = from
       while (i + 3 < bytes.length) {
         if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
@@ -88,35 +121,49 @@ object WetFiles {
       }
       -1
     }
-    private def skipSeparators(): Unit =
-      while (pos < bytes.length &&
-        (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
 
-    skipSeparators()
-    override def hasNext: Boolean = pos < bytes.length
-    override def next(): (String, String, String) = {
-      val he = indexOfHeaderEnd(pos)
-      require(he >= 0, s"unterminated WARC header block at byte $pos")
-      val header = new String(bytes, pos, he - pos, UTF_8)
-      require(header.startsWith("WARC/1.0"),
-        s"record at byte $pos does not start with WARC/1.0")
-      def field(name: String): Option[String] =
-        header.split("\r\n").collectFirst {
-          case l if l.startsWith(name + ":") => l.drop(name.length + 1).trim
-        }
-      val url = field("WARC-Target-URI").getOrElse(
-        sys.error(s"missing WARC-Target-URI at byte $pos"))
-      val date = field("WARC-Date").getOrElse("")
-      val len = field("Content-Length").map(_.toInt).getOrElse(
-        sys.error(s"missing Content-Length at byte $pos"))
-      val payloadStart = he + HeaderEnd.length
-      require(payloadStart + len <= bytes.length,
-        s"truncated payload at byte $payloadStart (want $len)")
-      val text = new String(bytes, payloadStart, len, UTF_8)
-      pos = payloadStart + len
+    val all = new Iterator[Option[(String, Long, String)]] {
+      private var pos = 0
+      private def skipSeparators(): Unit =
+        while (pos < bytes.length &&
+          (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+
       skipSeparators()
-      (url, date, text)
+      override def hasNext: Boolean = pos < bytes.length
+      override def next(): Option[(String, Long, String)] = {
+        val he = indexOfHeaderEnd(pos)
+        require(he >= 0, s"unterminated WARC header block at byte $pos")
+        val header = new String(bytes, pos, he - pos, UTF_8)
+        require(header.startsWith("WARC/1.0"),
+          s"record at byte $pos does not start with WARC/1.0")
+        def field(name: String): Option[String] =
+          header.split("\r\n").collectFirst {
+            case l if l.startsWith(name + ":") => l.drop(name.length + 1).trim
+          }
+        val len = field("Content-Length").map(_.toInt).getOrElse(
+          sys.error(s"missing Content-Length at byte $pos"))
+        val payloadStart = he + HeaderEnd.length
+        require(payloadStart + len <= bytes.length,
+          s"truncated payload at byte $payloadStart (want $len)")
+        val isConversion =
+          field("WARC-Type").contains("conversion") &&
+            field("WARC-Target-URI").isDefined
+        val rec =
+          if (!isConversion) None // warcinfo/request/etc: frame-skip
+          else {
+            val url = field("WARC-Target-URI").get
+            val epoch = field("WARC-Date")
+              .map(d => java.time.Instant.parse(d).getEpochSecond)
+              .getOrElse(0L)
+            Some((url, epoch,
+              new String(bytes, payloadStart, len, UTF_8)))
+          }
+        pos = payloadStart + len
+        skipSeparators()
+        rec
+      }
     }
+    all.flatten
   }
 
   /** Read a directory of WET files as (url, warc_ts, text). One task per
@@ -126,14 +173,15 @@ object WetFiles {
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc.wet")
+      .option("pathGlobFilter", "*.warc.wet*") // plain or .gz
       .load(dir)
       .select(col("content"))
       .as[Array[Byte]]
       .mapPartitions(_.flatMap(parse))
-      .toDF("url", "iso", "text")
-      .select(col("url"),
-        to_timestamp(col("iso"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_ts"),
+      .toDF("url", "epoch", "text")
+      // timestamp from epoch seconds: session-timezone-independent (the
+      // instant was parsed from the record's UTC WARC-Date in the JVM)
+      .select(col("url"), timestamp_seconds(col("epoch")).as("warc_ts"),
         col("text"))
   }
 }

@@ -55,6 +55,8 @@ object CorpusPipeline {
       // ([[graft.dedup.Dedup.connectedComponents]]); costs the label
       // propagation rounds.
       nearDupStrategy: String = "greedy",
+      // components-strategy convergence bound (rounds ~ cluster diameter)
+      nearDupMaxIters: Int = 50,
       materialize: DataFrame => DataFrame = _.localCheckpoint(false))
       : (DataFrame, DataFrame) = {
     require(Set("greedy", "components")(nearDupStrategy), nearDupStrategy)
@@ -79,7 +81,8 @@ object CorpusPipeline {
       if (nearDupStrategy == "greedy")
         nearPairs.select(col("b_id").as("doc_id")).distinct()
       else // exact: every component member except its minimum id
-        Dedup.connectedComponents(nearPairs, "a_id", "b_id")
+        Dedup.connectedComponents(nearPairs, "a_id", "b_id",
+            maxIters = nearDupMaxIters)
           .where(col("id") =!= col("comp"))
           .select(col("id").as("doc_id"))
     val keepNear = materialize(keepExact.join(nearDrops,

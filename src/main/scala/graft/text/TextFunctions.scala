@@ -109,18 +109,22 @@ object TextFunctions {
   def symbolToWordRatio(c: Column): Column = {
     val toks = tokenCount(c)
     val symbols = regexp_count(coalesce(c, lit("")), lit("#")) +
-      regexp_count(coalesce(c, lit("")), lit("\\.\\.\\."))
+      regexp_count(coalesce(c, lit("")), lit("\\.\\.\\.")) +
+      regexp_count(coalesce(c, lit("")), lit("\u2026")) // typographic ellipsis
     when(toks === 0, 0.0).otherwise(symbols.cast("double") / toks)
   }
 
   /** Non-blank line count as ONE multiline regexp_count — no higher-order
     * functions (a `filter` lambda would drop the whole signal projection
-    * to interpreted eval). `(?m)^\s*\S` matches exactly once per
-    * non-blank line: anchored at a line start, it consumes through that
-    * line's first non-ws char, and the next scan resumes past it.
+    * to interpreted eval). `^\s*\S` matches exactly once per non-blank
+    * line: anchored at a line start, it consumes through that line's
+    * first non-ws char, and the next scan resumes past it. The `(?d)`
+    * UNIX_LINES flag pins Java's `^`/`$` to `\n` ONLY — Java multiline
+    * otherwise also breaks on \r/\u2028/..., where the DuckDB oracle's
+    * RE2 breaks on \n only, and CRLF web text would diverge.
     */
   private def nonBlankLineCount(c: Column): Column =
-    regexp_count(coalesce(c, lit("")), lit("(?m)^\\s*\\S"))
+    regexp_count(coalesce(c, lit("")), lit("(?dm)^\\s*\\S"))
 
   /** Fraction of non-blank lines that start with a bullet marker — Gopher
     * drops > 0.9 (nav/listing boilerplate). 0 for empty docs.
@@ -128,7 +132,7 @@ object TextFunctions {
   def bulletLineFraction(c: Column): Column = {
     val lines = nonBlankLineCount(c)
     val bullets = regexp_count(coalesce(c, lit("")),
-      lit("(?m)^[ \\t]*[-*•]"))
+      lit("(?dm)^[ \\t]*[-*•]"))
     when(lines === 0, 0.0).otherwise(bullets.cast("double") / lines)
   }
 
@@ -138,7 +142,7 @@ object TextFunctions {
   def ellipsisLineFraction(c: Column): Column = {
     val lines = nonBlankLineCount(c)
     val ell = regexp_count(coalesce(c, lit("")),
-      lit("(?m)(\\.\\.\\.|…)[ \\t]*$"))
+      lit("(?dm)(\\.\\.\\.|…)[ \\t\\r]*$"))
     when(lines === 0, 0.0).otherwise(ell.cast("double") / lines)
   }
 

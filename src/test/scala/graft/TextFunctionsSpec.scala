@@ -166,6 +166,20 @@ class TextFunctionsSpec extends SparkSuite {
     assert(math.abs(got("ellipsis")._3 - 2.0 / 3.0) < 1e-12)
     assert(got("numbers")._4 === 0.2)
     assert(got("empty") === ((0.0, 0.0, 0.0, 1.0))) // token-less: alpha vacuously 1
+
+    // CRLF parity: Java's default multiline breaks on \r where the DuckDB
+    // oracle's RE2 breaks on \n only — the (?d) UNIX_LINES flag pins the
+    // engine to \n, and [ \t\r]* lets CRLF ellipsis lines still count
+    val crlf = Seq(("read more...\r\nsee details...\r\nplain line", "x"),
+        ("a… b… c…", "y")) // typographic ellipses count as symbols
+      .toDF("text", "tag")
+      .select($"tag", TF.ellipsisLineFraction($"text").as("ell"),
+        TF.symbolToWordRatio($"text").as("sym"),
+        TF.bulletLineFraction($"text").as("bul"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(math.abs(crlf("x")._1 - 2.0 / 3.0) < 1e-12, crlf("x").toString)
+    assert(crlf("y")._2 === 1.0) // 3 ellipses / 3 words
   }
 
   test("NFC normalization: composed == decomposed, idempotent, null-safe") {

@@ -52,6 +52,23 @@ class WetFilesSpec extends SparkSuite {
     assert(checksums(d1) === checksums(d2))
   }
 
+  test("real-crawl shape: warcinfo prologue frame-skipped, gzip inflated") {
+    val warcinfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 24\r\n\r\n" +
+      "software: graft-test 1.0\r\n\r\n").getBytes("UTF-8")
+    val conv = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://x/1\r\nWARC-Date: 2024-06-01T12:30:00Z\r\n" +
+      "Content-Length: 5\r\n\r\nhello\r\n\r\n").getBytes("UTF-8")
+    val file = warcinfo ++ conv
+    val recs = WetFiles.parse(file).toList
+    assert(recs === List(("https://x/1", 1717245000L, "hello")))
+    // the same bytes gzipped parse identically (the .warc.wet.gz shape)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(file); gz.close()
+    assert(WetFiles.parse(bos.toByteArray).toList === recs)
+  }
+
   test("truncated payload fails loudly, never returns sheared records") {
     val rec = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
       "WARC-Target-URI: https://x/1\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
