@@ -122,5 +122,11 @@ class DedupSpec extends SparkSuite {
     val comp2 = Dedup.connectedComponents(pairs.repartition(7), "a_id", "b_id")
       .as[(Long, Long)].collect().toMap
     assert(comp2 === comp)
+    // an insufficient iteration bound fails LOUDLY, never returns a
+    // half-propagated labeling
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "a_id", "b_id", maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("converge"))
   }
 }

@@ -100,6 +100,26 @@ class TextFunctionsSpec extends SparkSuite {
     assert(n.isEmpty)
   }
 
+  test("canonical URL is idempotent (re-canonicalizing a canonical url is a no-op)") {
+    // the dedup invariant: a re-crawled, already-canonical url must map to
+    // itself, or canonical keys churn between pipeline runs
+    val urls = Seq(
+      "HTTPS://Example.COM:443/Path/",
+      "http://example.com:80/",
+      "https://example.com/a?utm_source=x&id=3&utm_campaign=y#frag",
+      "https://example.com/a?gclid=z&fbclid=w&q=1",
+      "HTTP://HOST.example.com:8080/A/B?Q=Up",
+      "https://example.com/a?xgclid=5&q=1",
+      "https://example.com/a?utm_a=1&utm_b=2&q=1",
+      "https://example.com:80/x",
+      "http://example.com:443/x")
+    val rows = urls.toDF("u")
+      .select(TF.canonicalUrl($"u").as("c1"),
+        TF.canonicalUrl(TF.canonicalUrl($"u")).as("c2"))
+      .as[(String, String)].collect()
+    rows.foreach { case (c1, c2) => assert(c1 === c2, c1) }
+  }
+
   test("repetition signals: templated text scores high, prose scores zero") {
     val df = Seq(
       ("menu\nhome\nmenu\nhome\nmenu", "lines"),          // 3/5 lines repeat
