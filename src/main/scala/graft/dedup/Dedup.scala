@@ -289,53 +289,114 @@ object Dedup {
 
   /** EXACT connected components over an undirected near-dup pair list —
     * the alternative to greedy b-side dropping when chain-shaped clusters
-    * must keep exactly one representative (greedy can drop a doc whose
-    * only near-dup was itself dropped; components never do). Min-label
-    * propagation: every node starts as its own label, each round takes
-    * the min over itself and its neighbors, and the loop stops at the
-    * first round with zero changes — rounds ~ cluster DIAMETER, and
-    * near-dup families are shallow (a verbatim-copy family has diameter
-    * 1). Each round is one equi-join + one aggregation, labels
-    * `localCheckpoint`ed so lineage stays flat across rounds (the same
-    * discipline as the IVF Lloyd loop). At 10^12-edge scale swap in the
-    * alternating large-star/small-star rounds (Kiveris et al. 2014) —
-    * same join shape, fewer rounds on adversarial chains.
+    * must keep exactly one representative (greedy keeps every LOCAL
+    * minimum — a chain like 2-3-1 keeps both 1 and 2; components keep
+    * exactly the component minimum). Alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014):
+    *
+    *  - large-star: every node connects its strictly-LARGER neighbors to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    (plus itself) to that minimum.
+    *
+    * Both are one equi-join + one aggregation over (node, neighbor-min) —
+    * the same shuffle shape as naive min-label propagation — but distances
+    * to the component minimum roughly HALVE per round, so convergence is
+    * O(log n) rounds even on adversarial chain/path clusters where
+    * propagation pays O(cluster diameter) (template-boilerplate families
+    * at crawl scale form exactly those chains; DedupSpec pins a
+    * 10^4-node path converging in < 20 rounds where propagation needs
+    * 10^4). Each round's edge set is `localCheckpoint`ed so lineage stays
+    * flat (the same discipline as the IVF Lloyd loop), superseded rounds
+    * are unpersisted, and convergence is checked EXACTLY (set equality of
+    * canonical (hi, lo) edge sets — no hash-checksum false positives):
+    * at the fixed point the edges form stars centered at component minima.
+    * Non-convergence within `maxIters` fails loudly — never a
+    * half-propagated labeling.
     *
     * Returns (id, component) for every node appearing in `pairs`, where
     * component = the minimum id reachable — deterministic and
-    * partitioning-invariant.
+    * partitioning-invariant. The returned frame is an EAGER
+    * localCheckpoint: its storage blocks are released when the frame is
+    * garbage-collected on the driver (Spark's ContextCleaner) — a
+    * long-lived session running many components passes should not retain
+    * references to consumed results.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      maxIters: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds it ran (including the final no-change verification round) —
+    * the scale-facing observable BENCH.md reports.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String,
+      bCol: String, maxIters: Int = 20): (DataFrame, Int) = {
+    // every node appearing in pairs, INCLUDING self-loop-only nodes that
+    // the canonical edge set drops — they label as their own component
+    val nodes = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // canonical orientation (hi, lo), self-loops dropped: both star
+    // operations emit (larger, smaller) edges, so the set stays canonical
+    // across rounds and set equality is directly comparable
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (col("nmin").isNotNull && col("nmin") < col("comp")).as("_chg"))
-      val mat = next.localCheckpoint(true)
-      changed = mat.where(col("_chg")).count()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      // LARGE-STAR: undirected view; each node u computes the minimum m of
+      // its closed neighborhood and re-points every neighbor v > u at m.
+      val und = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy(col("u")).agg(min(col("v")).as("nm"))
+        .select(col("u"), least(col("u"), col("nm")).as("m"))
+      val ls = und.join(lsMin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR: edges are (u > v)-oriented, so each node u's stored
+      // neighbors are exactly its smaller ones; re-point them (and u
+      // itself) at their minimum m. Emitted edges keep (n > m) orientation
+      // by construction.
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, Seq("u"))
+        .select(col("v").as("n"), col("m"))
+        .unionByName(ssMin.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // EXACT convergence: both sides are canonical distinct sets, so
+      // equality == same size + empty one-sided difference
+      converged = ss.count() == edges.count() &&
+        ss.exceptAll(edges).isEmpty
       // release the superseded round's blocks — otherwise the loop pins
-      // rounds x |labels| of storage for the session's lifetime
-      labels.unpersist()
-      labels = mat.drop("_chg")
-      i += 1
+      // rounds x |edges| of storage for the session's lifetime
+      edges.unpersist()
+      edges = ss
+      rounds += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
+    // fixed point = star forest: every non-minimum node appears exactly
+    // once as u pointing at its component minimum; minima and
+    // self-loop-only nodes never appear as u and root themselves
+    val roots = nodes.join(edges.select(col("u").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(roots)
+      .localCheckpoint(true)
     edges.unpersist()
-    labels
+    nodes.unpersist()
+    (labels, rounds)
   }
 }

@@ -69,6 +69,32 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(c === g)
   }
 
+  test("hub cluster: greedy keeps two representatives, components keeps exactly one") {
+    // star/chain with the hub as the LARGEST id: 30 and 31 each near-dup
+    // the hub 32 (one of 14 tokens changed, at opposite ends → j = 11/13 ≈
+    // 0.846 ≥ 0.8) but not each other (j = 10/14 ≈ 0.714 < 0.8; at 0.846
+    // the 21-band LSH misses a pair with probability ~2e-9, so recall is
+    // deterministic here). Pairs are (30,32) and (31,32): greedy drops
+    // only the b-sides {32} and keeps BOTH 30 and 31 — two representatives
+    // of one connected component — while the components strategy keeps
+    // exactly the minimum, 30.
+    val hub = corpus.unionByName(Seq(
+      (30L, "north beta gamma delta granite marble quartz basalt every stone sings aloud at dawn", "en", "s2"),
+      (31L, "alpha beta gamma delta granite marble quartz basalt every stone sings aloud at dusk", "en", "s2"),
+      (32L, "alpha beta gamma delta granite marble quartz basalt every stone sings aloud at dawn", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val (keptG, _) = CorpusPipeline.build(hub,
+      "doc_id", "text", "lang", "source", sampleRate = 1.0,
+      nearDupThreshold = 0.8)
+    val (keptC, _) = CorpusPipeline.build(hub,
+      "doc_id", "text", "lang", "source", sampleRate = 1.0,
+      nearDupThreshold = 0.8, nearDupStrategy = "components")
+    val g = keptG.select("doc_id").as[Long].collect().toSet
+    val c = keptC.select("doc_id").as[Long].collect().toSet
+    assert((g & Set(30L, 31L, 32L)) === Set(30L, 31L)) // greedy: two reps survive
+    assert((c & Set(30L, 31L, 32L)) === Set(30L))      // components: exactly the min
+  }
+
   test("kept set is invariant to input partitioning") {
     val (k1, _) = CorpusPipeline.build(corpus.repartition(7),
       "doc_id", "text", "lang", "source", sampleRate = 0.6)

@@ -129,4 +129,38 @@ class DedupSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("converge"))
   }
+
+  test("large-star/small-star: 10k-node path converges in O(log n) rounds") {
+    import org.apache.spark.sql.functions._
+    // a 10^4-node PATH — the adversarial chain shape where min-label
+    // propagation needs ~10^4 rounds (one per hop); the alternating-star
+    // algorithm roughly halves distances per round
+    val n = 10000L
+    val path = spark.range(1L, n)
+      .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(path, "a_id", "b_id", maxIters = 30)
+    assert(rounds <= 20, s"expected O(log n) rounds on a 10k path, got $rounds")
+    val comps = labels.select("comp").distinct().as[Long].collect()
+    assert(comps.toSeq === Seq(1L))
+    assert(labels.count() === n)
+  }
+
+  test("large-star/small-star: permuted-id chain (no monotone shortcut) stays logarithmic") {
+    import org.apache.spark.sql.functions._
+    // same path topology but node ids scrambled by a modular bijection
+    // (i -> i*5167 mod 10007, 10007 prime), so the component minimum sits
+    // at an arbitrary interior position — the case where id-ordered chains
+    // would otherwise flatter the round count
+    val m = 10007L
+    val chain = spark.range(1L, m - 1)
+      .select(pmod(col("id") * 5167L, lit(m)).as("a_id"),
+        pmod((col("id") + 1L) * 5167L, lit(m)).as("b_id"))
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(chain, "a_id", "b_id", maxIters = 40)
+    assert(rounds <= 25, s"expected polylog rounds on a permuted 10k chain, got $rounds")
+    val comps = labels.select("comp").distinct().as[Long].collect()
+    assert(comps.toSeq === Seq(1L)) // the bijection hits 1..10006, min is 1
+    assert(labels.count() === m - 1)
+  }
 }
