@@ -80,14 +80,25 @@ final class AuditLog(dir: String, spark: SparkSession) {
   def supersede(parts: Set[String]): Unit = {
     if (parts.nonEmpty && exists(verdictsDir)) {
       val tmp = s"$verdictsDir-rewrite"
+      // a stale -rewrite dir from a crashed earlier supersede would
+      // otherwise merge into this rewrite via mode(Overwrite)'s dynamic
+      // semantics or confuse the rename below — clear it first
+      val conf = spark.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(verdictsDir)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val fs = live.getFileSystem(conf)
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
       spark.read.parquet(verdictsDir)
         .where(!col("part").isin(parts.toSeq: _*))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val live = new org.apache.hadoop.fs.Path(verdictsDir)
-      val fs = live.getFileSystem(conf)
       fs.delete(live, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+      // rename can fail NON-exceptionally (object stores, cross-device):
+      // swallowing it would silently discard the whole audit history and
+      // leak the rewrite dir — fail loudly instead (the deleted live dir
+      // is still fail-SAFE: the next resume re-validates everything)
+      if (!fs.rename(tmpPath, live))
+        sys.error(s"audit supersede: rename $tmp -> $verdictsDir failed; " +
+          "verdict history is at the -rewrite path, resume will re-validate")
     }
   }
 }

@@ -29,9 +29,21 @@ object WetFiles {
 
   private val HeaderEnd = "\r\n\r\n".getBytes(UTF_8)
 
-  /** Render one conversion record: WARC/1.0 headers + framed payload. */
+  /** Render one conversion record: WARC/1.0 headers + framed payload.
+    *
+    * The url is interpolated into a header LINE, so control characters in
+    * it would be header injection: a crawled URL containing `\r\n` could
+    * smuggle a second `Content-Length` field that silently mis-frames
+    * every subsequent record on read (the parser takes the first matching
+    * field). The WARC spec requires Target-URIs to be percent-encoded —
+    * anything with raw CR/LF (or any other control char) is rejected
+    * loudly here rather than written unreadably.
+    */
   private def renderRecord(url: String, isoDate: String,
       text: String): Array[Byte] = {
+    require(url != null && !url.exists(c => c < ' ' || c == 0x7f),
+      s"WET write: url contains control characters (header injection): " +
+        s"${if (url == null) "null" else url.take(120)}")
     val payload = (if (text == null) "" else text).getBytes(UTF_8)
     val header =
       s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +

@@ -69,6 +69,23 @@ class WetFilesSpec extends SparkSuite {
     assert(WetFiles.parse(bos.toByteArray).toList === recs)
   }
 
+  test("url with CR/LF is rejected at write (WARC header injection)") {
+    // a crawled URL containing \r\n could smuggle an injected
+    // Content-Length header line that mis-frames every subsequent record
+    // on read — the writer must reject it loudly, never render it
+    val dir = Files.createTempDirectory("wet_inj").toString
+    val evil = Seq(
+      ("https://a.example.com/ok", "2024-01-01 10:00:00", "fine"),
+      ("https://evil.example.com/x\r\nContent-Length: 0",
+        "2024-01-02 11:00:00", "payload")
+    ).toDF("url", "ts", "text")
+      .select($"url", $"ts".cast("timestamp").as("warc_ts"), $"text")
+    val e = intercept[Exception] { WetFiles.write(evil, dir, nFiles = 1) }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("control characters")), chain.mkString(" | "))
+  }
+
   test("truncated payload fails loudly, never returns sheared records") {
     val rec = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
       "WARC-Target-URI: https://x/1\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
