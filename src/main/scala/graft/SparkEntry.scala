@@ -29,6 +29,13 @@ object SparkEntry {
     * one hash exchange + in-partition sort is strictly cheaper and equally
     * deterministic. The correctness gate sorts rows itself — this exists
     * for stable, diffable dumps, not for the compare.
+    *
+    * DUMP-ONLY, O(result) ON ONE TASK: `repartition(1)` funnels the whole
+    * result through a single task, which is exactly right for kilobyte
+    * verdict dumps and exactly wrong for any production data path. It is
+    * deliberately a `private implicit` of this dump layer so no
+    * engine/text/dedup code can reach it (PhysicalPlanSpec additionally
+    * pins that dumps never range-partition).
     */
   private implicit class StableDump(df: DataFrame) {
     def stableSorted(cols: String*): DataFrame =
@@ -311,6 +318,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // P15: multi-field OR search (DRF SearchFilter, api.py:296-298 —
+    // search_fields ORed): "ar" hits p_name-only rows (gear parts),
+    // p_type-only rows (STANDARD/LARGE), both, and neither, so the
+    // cross-column OR is actually exercised
+    "q_search_multi" -> ((s, dir) => {
+      t(s, dir, "part")
+        .where(graft.functions.StringFunctions.searchAny("ar",
+          col("p_name"), col("p_type")))
+        .select("p_partkey", "p_name", "p_type")
+    }),
+
     // P6: case-insensitive substring filter (filters.py:46-47)
     "q_icontains" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -506,6 +524,39 @@ object SparkEntry {
         .stableSorted("id")
     }),
 
+    // Exact k-shingle Jaccard verify over an EXPLICIT pair list (the
+    // post-LSH verify stage used standalone): deterministic pairs
+    // (doc_id, doc_id + 3), UNthresholded so empty/null-text handling is
+    // value-checked too (empty vs anything = 0.0, the union-0 guard).
+    // The engine computes Jaccard over 64-bit shingle-hash sets; values
+    // equal the string-shingle-set Jaccard the oracle re-derives absent
+    // 2^-64 collisions (same argument as q_minhash_lsh).
+    "q_jaccard_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a_id"),
+          (col("doc_id") + 3L).as("b_id"))
+        .join(ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      graft.dedup.Dedup.jaccardVerify(docs, pairs, "doc_id", "text", k = 3)
+        .stableSorted("a_id", "b_id")
+    }),
+
+    // Content fingerprints, value-checked end-to-end: canonical-text
+    // xxhash64 (the exact-dedup key) and the 1-hash MinHash
+    // (rollingMinShingleHash). The oracle re-implements XXH64 over UTF-8
+    // BYTES (stripes, 8/4/1-byte tails, avalanche — the general
+    // variable-length path, not q_sampling's long specialization) in
+    // DuckDB HUGEINT arithmetic; generated and bit-validated against
+    // Spark by tools/gen_xxh64_sql.py, so the 64-bit hash VALUES are
+    // graded, not just group structure.
+    "q_fingerprint" -> ((s, dir) => {
+      import graft.text.{TextFunctions => TF}
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.fingerprint(col("text")).as("fp"),
+        TF.rollingMinShingleHash(col("text"), 3).as("min_shingle"))
+        .stableSorted("doc_id")
+    }),
+
     // JSONL ingest with corrupt-record quarantine: the documents table is
     // serialized to JSONL, deterministic garbage lines are interleaved
     // (one per doc_id % 50 == 0), and the PERMISSIVE+quarantine reader
@@ -636,6 +687,48 @@ object SparkEntry {
       ValidationEngine.run(docs, graft.text.QualityRules.catalog(),
         Map.empty, cfg)
         .verdicts.stableSorted("part", "rule_id")
+    }),
+
+    // STREAMING as a graded row (batch ≡ stream, driver-checked): the SAME
+    // quality-rule catalog runs through the foreachBatch streaming path in
+    // real micro-batches (maxFilesPerTrigger=1 over an 8-file staging of
+    // the documents table, Trigger.AvailableNow), violations append to a
+    // parquet sink per batch, and the verdict table is re-assembled from
+    // that sink — then graded by the SAME DuckDB SQL as the batch
+    // q_docs_quality_filter. Any drift between the batch engine and the
+    // streaming port (rule semantics, partition keying, violation counts)
+    // breaks the hash match.
+    "q_stream_quality_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream").toString
+      docs.repartition(8).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
+        partExpr = "source")
+      graft.streaming.StreamingValidation.validateStream(
+          graft.text.QualityRules.withSignals(stream),
+          graft.text.QualityRules.catalog(), Map.empty, cfg,
+          s"$tmp/vios", s"$tmp/ckpt")
+        .start().awaitTermination()
+      // verdicts from the STREAMED sink: per-(part, rule) violation counts
+      // over the full rule × partition grid; checked = per-part row counts
+      // of the same staged input
+      import s.implicits._
+      val parts = s.read.parquet(s"$tmp/in")
+        .groupBy(col("source").as("part"))
+        .agg(count(lit(1)).as("checked"))
+      val ruleIds = graft.text.QualityRules.catalog().map(_.ruleId)
+        .toDF("rule_id")
+      val counts = s.read.parquet(s"$tmp/vios")
+        .groupBy(col("part"), col("rule_id"))
+        .agg(count(lit(1)).as("violations"))
+      parts.crossJoin(ruleIds).join(counts, Seq("part", "rule_id"), "left")
+        .select(col("part"), col("rule_id"), col("checked"),
+          coalesce(col("violations"), lit(0L)).as("violations"),
+          (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
+        .stableSorted("part", "rule_id")
     }),
 
     // Deterministic sampling / stratification / sharding / shuffle over
@@ -1135,6 +1228,87 @@ object SparkEntry {
                     ORDER BY score DESC, id ASC) AS rank
            FROM scored) WHERE rank <= 10"""
 
+  /** Shared by q_docs_quality_filter (batch) and
+    * q_stream_quality_filter (the foreachBatch streaming port of the
+    * same catalog): ONE oracle, two execution paths — batch ≡ stream
+    * graded by the driver.
+    */
+  private val DocsQualityOracleSql: String =
+    """WITH m AS (SELECT source, text, lang,
+           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
+                ELSE len(list_filter(string_split_regex(
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'),
+                  t -> t != '')) END AS toks,
+           list_filter(string_split(coalesce(text, ''), chr(10)),
+             l -> trim(l) != '') AS lines,
+           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN []::VARCHAR[]
+                ELSE list_filter(string_split_regex(
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'),
+                  t -> t != '') END AS ws,
+           len(regexp_extract_all(coalesce(text,''), '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|auf)\b'))
+             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(the|and|of|to|is|in|that|it|was|for)\b'))
+             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(el|los|las|es|una|en|que|por|con|para)\b'))
+             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(le|la|les|et|est|une|dans|que|pour|pas)\b')) AS sw,
+           length(coalesce(text,'')) AS nch,
+           len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N} \t\n\v\f\r]')) AS punct,
+           len(regexp_extract_all(coalesce(text,''), '[\p{N}]')) AS dig,
+           len(regexp_extract_all(coalesce(text,''), '#'))
+             + len(regexp_extract_all(coalesce(text,''), '\.\.\.'))
+             + len(regexp_extract_all(coalesce(text,''), '…')) AS syms,
+           len(regexp_extract_all(coalesce(text,''), '(?m)^[ \t\n\v\f\r]*\S')) AS nbl,
+           len(regexp_extract_all(coalesce(text,''), '(?m)^[ \t]*[-*•]')) AS bul,
+           len(regexp_extract_all(coalesce(text,''), '(?m)(\.\.\.|…)[ \t\r]*$')) AS ell,
+           len(regexp_extract_all(coalesce(text,''), '(^|[ \t\n\v\f\r])[^ \t\n\v\f\r]*\p{L}')) AS alphaw
+         FROM documents),
+         sig AS (SELECT source, text, lang, toks,
+           CASE WHEN toks = 0 THEN 0.0 ELSE syms * 1.0 / toks END AS symr,
+           CASE WHEN nbl = 0 THEN 0.0 ELSE bul * 1.0 / nbl END AS bulf,
+           CASE WHEN nbl = 0 THEN 0.0 ELSE ell * 1.0 / nbl END AS ellf,
+           CASE WHEN toks = 0 THEN 1.0 ELSE alphaw * 1.0 / toks END AS alphaf,
+           CASE WHEN len(lines) = 0 THEN 0.0
+                ELSE (len(lines) - len(list_distinct(lines))) * 1.0
+                     / len(lines) END AS dlf,
+           CASE WHEN len(ws) < 3 THEN 0.0
+                ELSE (len(ws) - 2 - len(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) * 1.0
+                  / (len(ws) - 2) END AS dgf,
+           round(least(CAST(toks AS DOUBLE)/100.0, 1.0) * 0.3
+             + least((CASE WHEN toks = 0 THEN 0.0
+                 ELSE CAST(sw AS DOUBLE)/toks END) * 4.0, 1.0) * 0.3
+             + greatest(0.0, 1.0 - (CASE WHEN nch = 0 THEN 0.0
+                 ELSE CAST(punct AS DOUBLE)/nch END) * 5.0) * 0.2
+             + greatest(0.0, 1.0 - (CASE WHEN nch = 0 THEN 0.0
+                 ELSE CAST(dig AS DOUBLE)/nch END) * 3.0) * 0.2, 4) AS q
+         FROM m),
+         per AS (SELECT source AS part,
+           CAST(count(*) AS BIGINT) AS checked,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_req,
+           CAST(sum(CASE WHEN NOT coalesce(toks >= 5, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_tok,
+           CAST(sum(CASE WHEN NOT coalesce(dlf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dlf,
+           CAST(sum(CASE WHEN NOT coalesce(dgf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dgf,
+           CAST(sum(CASE WHEN lang IS NOT NULL
+                AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+           CAST(sum(CASE WHEN NOT coalesce(q >= 0.25, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_q,
+           CAST(sum(CASE WHEN NOT coalesce(symr <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_sym,
+           CAST(sum(CASE WHEN NOT coalesce(bulf <= 0.9, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_bul,
+           CAST(sum(CASE WHEN NOT coalesce(ellf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_ell,
+           CAST(sum(CASE WHEN NOT coalesce(alphaf >= 0.8, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha
+         FROM sig GROUP BY 1)
+         SELECT part, rule_id, checked, violations, violations = 0 AS pass
+         FROM (
+           SELECT part, 'text_required' AS rule_id, checked, v_req AS violations FROM per
+           UNION ALL SELECT part, 'min_tokens', checked, v_tok FROM per
+           UNION ALL SELECT part, 'max_dup_line_frac', checked, v_dlf FROM per
+           UNION ALL SELECT part, 'max_dup_3gram_frac', checked, v_dgf FROM per
+           UNION ALL SELECT part, 'lang_allowed', checked, v_lang FROM per
+           UNION ALL SELECT part, 'min_quality', checked, v_q FROM per
+           UNION ALL SELECT part, 'max_symbol_ratio', checked, v_sym FROM per
+           UNION ALL SELECT part, 'max_bullet_lines', checked, v_bul FROM per
+           UNION ALL SELECT part, 'max_ellipsis_lines', checked, v_ell FROM per
+           UNION ALL SELECT part, 'min_alpha_words', checked, v_alpha FROM per)
+         ORDER BY part, rule_id"""
+
   def oracleSql: Map[String, String] = Map(
     "q_crm_replay" -> CrmReplayGolden,
     // golden counts for the planted-corruption generator run (seeded,
@@ -1235,7 +1409,7 @@ object SparkEntry {
          count(*) AS n_orders FROM orders GROUP BY 1""",
     "q_token_count" ->
       """SELECT lang,
-         CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+         CAST(sum(length(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'))) AS BIGINT) AS tokens,
          count(*) AS docs
          FROM documents GROUP BY 1""",
     "q_regex_classify" ->
@@ -1264,6 +1438,10 @@ object SparkEntry {
     "q_icontains" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE lower(c_name) LIKE '%er%'""",
+    "q_search_multi" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+         WHERE lower(coalesce(p_name, '')) LIKE '%ar%'
+            OR lower(coalesce(p_type, '')) LIKE '%ar%'""",
     "q_join_dedup" ->
       """SELECT DISTINCT o_custkey FROM orders
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -1575,14 +1753,19 @@ object SparkEntry {
              AS age_precise,
            count(*) AS n
          FROM p GROUP BY 1, 2, 3""",
+    // WHITESPACE PARITY (all text oracles): the engine's tokenizers use
+    // Java regex \s = [ \t\n\x0B\f\r]; RE2's \s EXCLUDES vertical tab, so
+    // every DuckDB-side split/trim/class below spells the Java set out
+    // explicitly ('[ \t\n\v\f\r]+', trim char list with chr(11)/chr(12))
+    // — a \x0B in a document diverges under a bare '\s' oracle.
     // exact all-pairs word-3-gram Jaccard — ground truth for the LSH paths
     // (see q_minhash_lsh comment for why recall is exactly 1 here)
     "q_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
-                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
+                 trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') ws
                FROM documents
                WHERE text IS NOT NULL
-                 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                   ELSE list_distinct(list_transform(
@@ -1602,7 +1785,7 @@ object SparkEntry {
                l -> trim(l) != '') AS lines,
              CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(
-                    trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') END AS ws
+                    trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') END AS ws
            FROM documents),
          g AS (
            SELECT doc_id, lines,
@@ -1630,10 +1813,10 @@ object SparkEntry {
     // exact-Jaccard pair graph (same pair derivation as q_minhash_lsh)
     "q_dedup_components" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(
-                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
+                 trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') ws
                FROM documents
                WHERE text IS NOT NULL
-                 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                   ELSE list_distinct(list_transform(
@@ -1655,6 +1838,110 @@ object SparkEntry {
            SELECT rc.id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)
          SELECT id, CAST(min(r) AS BIGINT) AS comp
          FROM reach GROUP BY id ORDER BY id""",
+
+    // exact string-shingle Jaccard over the same (doc_id, doc_id+3)
+    // pairs; empty/null texts shingle to the EMPTY set (not [''])
+    "q_jaccard_verify" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 3),
+         toks AS (SELECT doc_id, list_filter(string_split_regex(
+             trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+             '[ \t\n\v\f\r]+'), t -> t != '') AS ws
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+                  WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+           FROM toks),
+         j AS (SELECT p.a_id, p.b_id,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+           FROM pairs p
+           JOIN sh a ON a.doc_id = p.a_id
+           JOIN sh b ON b.doc_id = p.b_id)
+         SELECT a_id, b_id,
+           CASE WHEN u = 0 THEN 0.0 ELSE i * 1.0 / u END AS jaccard
+         FROM j ORDER BY a_id, b_id""",
+
+    // XXH64-over-UTF-8-bytes re-derived in HUGEINT SQL (see the query
+    // comment; generator: tools/gen_xxh64_sql.py)
+    "q_fingerprint" ->
+      """WITH docs0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+ canon AS (SELECT doc_id,
+     regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g') AS c
+   FROM docs0),
+ toks AS (SELECT doc_id, list_filter(string_split_regex(
+     trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+     '[ \t\n\v\f\r]+'), t -> t != '') AS ws FROM docs0),
+ sh AS (SELECT doc_id,
+     CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+          ELSE list_distinct(list_transform(
+            generate_series(1, len(ws) - 2),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+   FROM toks),
+ units AS (
+   SELECT doc_id AS did, 0 AS kind, c AS s FROM canon
+   UNION ALL
+   SELECT doc_id, 1, unnest(s) FROM sh
+   UNION ALL
+   SELECT d.doc_id, 1, d.text FROM docs0 d
+   JOIN sh ON sh.doc_id = d.doc_id WHERE len(sh.s) = 0
+ ),
+ src AS (SELECT {'d': did, 'kind': kind} AS k, s FROM units),
+ x_b AS (SELECT k, hex(encode(s)) AS hx,
+     CAST(octet_length(encode(s)) AS BIGINT) AS n FROM src),
+ x_bs AS (SELECT k, n, list_transform(generate_series(1, CAST(n AS INT)), i ->
+     CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1 AS HUGEINT) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bs
+   FROM x_b),
+ x_st AS (SELECT k, n, bs,
+     list_reduce(list_prepend(
+       {'w1': 6983438078262162944::HUGEINT, 'w2': 14029467366897019769::HUGEINT,
+         'w3': 42::HUGEINT, 'w4': 7046029288634856867::HUGEINT},
+       list_transform(generate_series(1, CAST(n // 32 AS INT)), t ->
+         {'w1': (bs[(32*(t-1)) + 1] * 1::HUGEINT + bs[(32*(t-1)) + 2] * 256::HUGEINT + bs[(32*(t-1)) + 3] * 65536::HUGEINT + bs[(32*(t-1)) + 4] * 16777216::HUGEINT + bs[(32*(t-1)) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)) + 8] * 72057594037927936::HUGEINT),
+           'w2': (bs[(32*(t-1)+8) + 1] * 1::HUGEINT + bs[(32*(t-1)+8) + 2] * 256::HUGEINT + bs[(32*(t-1)+8) + 3] * 65536::HUGEINT + bs[(32*(t-1)+8) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+8) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+8) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+8) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+8) + 8] * 72057594037927936::HUGEINT),
+           'w3': (bs[(32*(t-1)+16) + 1] * 1::HUGEINT + bs[(32*(t-1)+16) + 2] * 256::HUGEINT + bs[(32*(t-1)+16) + 3] * 65536::HUGEINT + bs[(32*(t-1)+16) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+16) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+16) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+16) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+16) + 8] * 72057594037927936::HUGEINT),
+           'w4': (bs[(32*(t-1)+24) + 1] * 1::HUGEINT + bs[(32*(t-1)+24) + 2] * 256::HUGEINT + bs[(32*(t-1)+24) + 3] * 65536::HUGEINT + bs[(32*(t-1)+24) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+24) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+24) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+24) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+24) + 8] * 72057594037927936::HUGEINT)})),
+       (a, s) -> {'w1': ((((((((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w2': ((((((((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w3': ((((((((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w4': ((((((((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)}) AS v
+   FROM x_bs),
+ x_h1 AS (SELECT k, n, bs,
+     ((CASE WHEN n >= 32 THEN (((((xor(((((((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)
+            ELSE 2870177450012600303::HUGEINT END) + n) & 18446744073709551615::HUGEINT AS h1
+   FROM x_st),
+ x_h2 AS (SELECT k, n, bs,
+     list_reduce(list_prepend(h1,
+       list_transform(generate_series(1, CAST((n % 32) // 8 AS INT)), t ->
+         (bs[(32*(n//32) + 8*(t-1)) + 1] * 1::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 2] * 256::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 3] * 65536::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 4] * 16777216::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 5] * 4294967296::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 6] * 1099511627776::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 7] * 281474976710656::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 8] * 72057594037927936::HUGEINT))),
+       (a, w) -> (((((((((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) << 27) & 18446744073709551615::HUGEINT) | ((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) >> 37))) * 2246822535::HUGEINT + (((((((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) << 27) & 18446744073709551615::HUGEINT) | ((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) >> 37))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)) AS h2,
+     32*(n//32) + 8*((n % 32)//8) AS o4
+   FROM x_h1),
+ x_h3 AS (SELECT k, n, bs,
+     CASE WHEN (n % 8) >= 4
+          THEN (((((((((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) << 23) & 18446744073709551615::HUGEINT) | ((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) >> 41))) * 668265295::HUGEINT + (((((((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) << 23) & 18446744073709551615::HUGEINT) | ((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) >> 41))) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) + 1609587929392839161::HUGEINT) & 18446744073709551615::HUGEINT
+          ELSE h2 END AS h3
+   FROM x_h2),
+ x_h4 AS (SELECT k,
+     list_reduce(list_prepend(h3,
+       list_transform(generate_series(1, CAST(n % 4 AS INT)), t ->
+         bs[CAST(n - (n % 4) AS INT) + t])),
+       (a, b) -> (((((((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) << 11) & 18446744073709551615::HUGEINT) | ((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) >> 53))) * 2246822535::HUGEINT + (((((((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) << 11) & 18446744073709551615::HUGEINT) | ((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) >> 53))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) AS h4
+   FROM x_h3),
+ x_a1 AS (SELECT k, (((xor(h4, h4 >> 33)) * 668265295::HUGEINT + (((xor(h4, h4 >> 33)) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS a2 FROM x_h4),
+ x_a2 AS (SELECT k, (((xor(a2, a2 >> 29)) * 2654435833::HUGEINT + (((xor(a2, a2 >> 29)) * 374761393::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS a4 FROM x_a1),
+ x_out AS (SELECT k,
+     CAST(CASE WHEN xor(a4, a4 >> 32) >= 9223372036854775808::HUGEINT
+               THEN xor(a4, a4 >> 32) - 18446744073709551616::HUGEINT
+               ELSE xor(a4, a4 >> 32) END AS BIGINT) AS h
+   FROM x_a2)
+ SELECT k.d AS doc_id,
+   max(CASE WHEN k.kind = 0 THEN h END) AS fp,
+   min(CASE WHEN k.kind = 1 THEN h END) AS min_shingle
+ FROM x_out GROUP BY 1 ORDER BY doc_id""",
 
     // ingest-stats arithmetic straight off the source table: every doc is
     // one good line, every doc_id % 50 == 0 adds one garbage line
@@ -1706,13 +1993,13 @@ object SparkEntry {
       """WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source
                 FROM documents),
          ce AS (SELECT *, regexp_replace(lower(trim(coalesce(text,''))),
-                  '\s+', ' ', 'g') AS ctext FROM d0),
+                  '[ \t\n\v\f\r]+', ' ', 'g') AS ctext FROM d0),
          k1 AS (SELECT doc_id, text, lang, source FROM ce
                 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY ctext)),
          ntoks AS (SELECT doc_id, list_filter(string_split_regex(
-                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') tw
+                 trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') tw
                FROM k1
-               WHERE text IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
+               WHERE text IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != ''),
          nsh AS (SELECT doc_id,
              CASE WHEN len(tw) < 3 THEN [array_to_string(tw, ' ')]
                   ELSE list_distinct(list_transform(
@@ -1730,13 +2017,13 @@ object SparkEntry {
          qm AS (SELECT doc_id, text, lang,
            CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
                 ELSE len(list_filter(string_split_regex(
-                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'),
                   t -> t != '')) END AS toks,
            list_filter(string_split(coalesce(text, ''), chr(10)),
              l -> trim(l) != '') AS lines,
            CASE WHEN length(trim(coalesce(text,''))) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(
-                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'),
                   t -> t != '') END AS qws
          FROM k2),
          qsig AS (SELECT doc_id, text, lang, toks,
@@ -1795,81 +2082,8 @@ object SparkEntry {
              count(*) FROM k4 GROUP BY 2)
          ORDER BY ord, stage""",
 
-    "q_docs_quality_filter" ->
-      """WITH m AS (SELECT source, text, lang,
-           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
-                ELSE len(list_filter(string_split_regex(
-                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
-                  t -> t != '')) END AS toks,
-           list_filter(string_split(coalesce(text, ''), chr(10)),
-             l -> trim(l) != '') AS lines,
-           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN []::VARCHAR[]
-                ELSE list_filter(string_split_regex(
-                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
-                  t -> t != '') END AS ws,
-           len(regexp_extract_all(coalesce(text,''), '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|auf)\b'))
-             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(the|and|of|to|is|in|that|it|was|for)\b'))
-             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(el|los|las|es|una|en|que|por|con|para)\b'))
-             + len(regexp_extract_all(coalesce(text,''), '(?i)\b(le|la|les|et|est|une|dans|que|pour|pas)\b')) AS sw,
-           length(coalesce(text,'')) AS nch,
-           len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N}\s]')) AS punct,
-           len(regexp_extract_all(coalesce(text,''), '[\p{N}]')) AS dig,
-           len(regexp_extract_all(coalesce(text,''), '#'))
-             + len(regexp_extract_all(coalesce(text,''), '\.\.\.'))
-             + len(regexp_extract_all(coalesce(text,''), '…')) AS syms,
-           len(regexp_extract_all(coalesce(text,''), '(?m)^\s*\S')) AS nbl,
-           len(regexp_extract_all(coalesce(text,''), '(?m)^[ \t]*[-*•]')) AS bul,
-           len(regexp_extract_all(coalesce(text,''), '(?m)(\.\.\.|…)[ \t\r]*$')) AS ell,
-           len(regexp_extract_all(coalesce(text,''), '(^|\s)[^\s]*\p{L}')) AS alphaw
-         FROM documents),
-         sig AS (SELECT source, text, lang, toks,
-           CASE WHEN toks = 0 THEN 0.0 ELSE syms * 1.0 / toks END AS symr,
-           CASE WHEN nbl = 0 THEN 0.0 ELSE bul * 1.0 / nbl END AS bulf,
-           CASE WHEN nbl = 0 THEN 0.0 ELSE ell * 1.0 / nbl END AS ellf,
-           CASE WHEN toks = 0 THEN 1.0 ELSE alphaw * 1.0 / toks END AS alphaf,
-           CASE WHEN len(lines) = 0 THEN 0.0
-                ELSE (len(lines) - len(list_distinct(lines))) * 1.0
-                     / len(lines) END AS dlf,
-           CASE WHEN len(ws) < 3 THEN 0.0
-                ELSE (len(ws) - 2 - len(list_distinct(list_transform(
-                    generate_series(1, len(ws) - 2),
-                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) * 1.0
-                  / (len(ws) - 2) END AS dgf,
-           round(least(CAST(toks AS DOUBLE)/100.0, 1.0) * 0.3
-             + least((CASE WHEN toks = 0 THEN 0.0
-                 ELSE CAST(sw AS DOUBLE)/toks END) * 4.0, 1.0) * 0.3
-             + greatest(0.0, 1.0 - (CASE WHEN nch = 0 THEN 0.0
-                 ELSE CAST(punct AS DOUBLE)/nch END) * 5.0) * 0.2
-             + greatest(0.0, 1.0 - (CASE WHEN nch = 0 THEN 0.0
-                 ELSE CAST(dig AS DOUBLE)/nch END) * 3.0) * 0.2, 4) AS q
-         FROM m),
-         per AS (SELECT source AS part,
-           CAST(count(*) AS BIGINT) AS checked,
-           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_req,
-           CAST(sum(CASE WHEN NOT coalesce(toks >= 5, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_tok,
-           CAST(sum(CASE WHEN NOT coalesce(dlf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dlf,
-           CAST(sum(CASE WHEN NOT coalesce(dgf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dgf,
-           CAST(sum(CASE WHEN lang IS NOT NULL
-                AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
-           CAST(sum(CASE WHEN NOT coalesce(q >= 0.25, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_q,
-           CAST(sum(CASE WHEN NOT coalesce(symr <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_sym,
-           CAST(sum(CASE WHEN NOT coalesce(bulf <= 0.9, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_bul,
-           CAST(sum(CASE WHEN NOT coalesce(ellf <= 0.3, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_ell,
-           CAST(sum(CASE WHEN NOT coalesce(alphaf >= 0.8, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha
-         FROM sig GROUP BY 1)
-         SELECT part, rule_id, checked, violations, violations = 0 AS pass
-         FROM (
-           SELECT part, 'text_required' AS rule_id, checked, v_req AS violations FROM per
-           UNION ALL SELECT part, 'min_tokens', checked, v_tok FROM per
-           UNION ALL SELECT part, 'max_dup_line_frac', checked, v_dlf FROM per
-           UNION ALL SELECT part, 'max_dup_3gram_frac', checked, v_dgf FROM per
-           UNION ALL SELECT part, 'lang_allowed', checked, v_lang FROM per
-           UNION ALL SELECT part, 'min_quality', checked, v_q FROM per
-           UNION ALL SELECT part, 'max_symbol_ratio', checked, v_sym FROM per
-           UNION ALL SELECT part, 'max_bullet_lines', checked, v_bul FROM per
-           UNION ALL SELECT part, 'max_ellipsis_lines', checked, v_ell FROM per
-           UNION ALL SELECT part, 'min_alpha_words', checked, v_alpha FROM per)
-         ORDER BY part, rule_id""",
+    "q_docs_quality_filter" -> DocsQualityOracleSql,
+    "q_stream_quality_filter" -> DocsQualityOracleSql,
 
     // Deterministic sampling family: a TRUE re-derivation, not a recorded
     // golden — Spark's XxHash64 8-byte-long specialization (hashLong
@@ -1982,10 +2196,10 @@ object SparkEntry {
     // doc_id % 17 slice) — ground truth for the decontamination pairs
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
-                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
+                 trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') ws
                FROM documents
                WHERE text IS NOT NULL
-                 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                   ELSE list_distinct(list_transform(
@@ -2083,10 +2297,10 @@ object SparkEntry {
            len(regexp_extract_all(coalesce(text,''), '(?i)\b(le|la|les|et|est|une|dans|que|pour|pas)\b')) AS h_fr,
            CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
                 ELSE len(list_filter(string_split_regex(
-                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '')) END AS toks,
-           len(regexp_extract_all(coalesce(text,''), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS bpe,
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '')) END AS toks,
+           len(regexp_extract_all(coalesce(text,''), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\v\f\r]')) AS bpe,
            length(coalesce(text,'')) AS nch,
-           len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N}\s]')) AS punct,
+           len(regexp_extract_all(coalesce(text,''), '[^\p{L}\p{N} \t\n\v\f\r]')) AS punct,
            len(regexp_extract_all(coalesce(text,''), '[\p{N}]')) AS dig
          FROM documents)
          SELECT doc_id,
@@ -2141,10 +2355,10 @@ object SparkEntry {
          FROM (SELECT * FROM psi UNION ALL SELECT * FROM ks)""",
     "q_simhash_neardup" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
-                 trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'), t -> t != '') ws
+                 trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') ws
                FROM documents
                WHERE text IS NOT NULL
-                 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) != ''),
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != ''),
          sh AS (SELECT doc_id,
              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                   ELSE list_distinct(list_transform(

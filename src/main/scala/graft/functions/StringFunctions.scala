@@ -73,6 +73,20 @@ object StringFunctions {
   def icontains(c: Column, needle: String): Column =
     lower(c).contains(needle.toLowerCase)
 
+  /** P15: multi-field OR search — the DRF `SearchFilter` shape
+    * (`cerberus/api.py:296-298`, `search_fields = ["name", "email"]`):
+    * one query term [[icontains]]-matched across several columns, ORed.
+    * NULL-safe: a NULL column never vetoes a match in another column and
+    * an all-NULL row does not match (each leg coalesces to false — the
+    * same rows Django's `Q(...) | Q(...)` returns, where a NULL leg is
+    * simply not a match). Stays a single scan-stage filter: no join, no
+    * shuffle, codegen'd `Contains` per leg.
+    */
+  def searchAny(needle: String, cols: Column*): Column = {
+    require(cols.nonEmpty, "searchAny needs at least one search column")
+    cols.map(c => coalesce(icontains(c, needle), lit(false))).reduce(_ || _)
+  }
+
   /** F16: `humanize.naturaldate` (used for booking display names,
     * `cerberus/models/booking.py:278,302-303`): "today" / "tomorrow" /
     * "yesterday" relative to `today`; other dates within a year render

@@ -106,6 +106,26 @@ class PhysicalPlanSpec extends SparkSuite {
       readSchema)
   }
 
+  test("multi-field OR search stays a single pushed scan-filter (no shuffle, codegen'd)") {
+    val dir = Files.createTempDirectory("search_any").toString
+    data.pages.select($"url", $"lang", $"text")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(graft.functions.StringFunctions.searchAny("en",
+        $"url", $"lang"))
+      .select("url")
+    val plan = finalPlanOf(q)
+    // one scan, one filter, zero exchanges — the OR is row-local
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(plan.split("Scan parquet").length == 2, plan.take(800))
+    // codegen stages print as "*(n) Operator" in the finalized plan —
+    // the OR-of-Contains filter must be starred, not interpreted
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(plan).nonEmpty, plan.take(800))
+    // column pruning survives the multi-column predicate: text not read
+    val readSchema = plan.split("ReadSchema:")(1).split("\n")(0)
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
   test("uniqueness is partial+final hash aggregation (map-side combine splits hot keys)") {
     val vio = Uniqueness.duplicateKeyViolations(data.pages,
       graft.rules.Unique("u", Seq("url")))
