@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.SparkPlan
 import graft.engine._
@@ -162,6 +163,24 @@ class PhysicalPlanSpec extends SparkSuite {
       assert(!plan.toLowerCase.contains("rangepartitioning"),
         s"$q plan re-grew a range sort")
     }
+  }
+
+  test("stableSorted stays out of production paths (dump layer only)") {
+    // stableSorted = repartition(1).sortWithinPartitions — a deliberate
+    // single-task funnel for kilobyte verdict dumps. It is a private
+    // implicit of SparkEntry's dump layer; this pins that no engine /
+    // text / dedup / crm / sources / sim / streaming source ever grows
+    // its own copy (SparkEntry and the bench probes under tools/ are the
+    // only allowed sites)
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => p.endsWith("SparkEntry.scala") ||
+        p.toString.contains("/tools/"))
+      .filter(p => new String(java.nio.file.Files.readAllBytes(p))
+        .contains("stableSorted"))
+      .toList
+    assert(offenders.isEmpty, s"stableSorted leaked into: $offenders")
   }
 
   test("banded self range join is an equi-join on (key, bucket), no cartesian") {
