@@ -480,7 +480,16 @@ object SparkEntry {
         CrmChecks.orphanSlots(t.bookingSlots, t.bookings),
         CrmChecks.monitorConsistency(t.invoices, t.stateLog,
           "invoice", "paid", "paid_on")
-      ).reduce(_.unionByName(_))
+      ).map(_.coalesce(1))
+        // coalesce(1) per branch BEFORE the union: a stage over the
+        // 22-branch union ships the whole union's task binary to every
+        // task, and the branches' post-shuffle segments total ~200
+        // partitions — ~200 tasks × ~28 ms deserialization measured
+        // (TailProbe), ~5.5 s of pure overhead for 41 result rows. One
+        // partition per fixture-scale branch keeps the engine's internal
+        // parallelism (coalesce only collapses the segment after each
+        // branch's last exchange) and cuts the fan to 22 tasks.
+        .reduce(_.unionByName(_))
         // stableSorted, NOT orderBy: a range sort would execute all 22
         // union branches a second time for boundary sampling (see helper)
         .stableSorted("key", "rule_id", "message")
