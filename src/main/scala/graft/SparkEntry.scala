@@ -318,6 +318,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // F13 make_aware (utils.py:17-24): attach the project zone to a naive
+    // timestamp and normalize to the UTC instant; from_utc_timestamp is
+    // the inverse, so ts_back pins the round trip. The events corpus is
+    // January-only, so no DST gap/ambiguity — both engines resolve every
+    // instant identically from the IANA db.
+    "q_make_aware" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(col("event_id") % 37 === 0)
+        .select(col("event_id"),
+          to_utc_timestamp(col("ts"), "Europe/Amsterdam").as("ts_utc"),
+          from_utc_timestamp(
+            to_utc_timestamp(col("ts"), "Europe/Amsterdam"),
+            "Europe/Amsterdam").as("ts_back"))
+    }),
+
+    // F15 rgetattr dotted-path access (utils.py:34-38): violations anchor
+    // to nested struct paths via col("a.b.c"). The frame is re-nested
+    // into contact.{name, account.{segment, balance}} and every output
+    // column is read back THROUGH the dotted path; the oracle re-derives
+    // flat, proving path access is exactly field projection.
+    "q_nested_path" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          struct(col("c_name").as("name"),
+            struct(col("c_mktsegment").as("segment"),
+              col("c_acctbal").as("balance")).as("account")).as("contact"))
+        .where(col("contact.account.balance") < 0)
+        .select(col("key"), col("contact.name").as("name"),
+          col("contact.account.segment").as("segment"),
+          col("contact.account.balance").cast("double").as("balance"))
+    }),
+
     // P15: multi-field OR search (DRF SearchFilter, api.py:296-298 —
     // search_fields ORed): "ar" hits p_name-only rows (gear parts),
     // p_type-only rows (STANDARD/LARGE), both, and neither, so the
@@ -1444,6 +1476,19 @@ object SparkEntry {
     "q_round_10min" ->
       """SELECT CAST(to_timestamp(floor(epoch(ts)/600)*600) AS TIMESTAMP) AS slot,
          count(*) AS n FROM events GROUP BY 1""",
+    // timezone(tz, TIMESTAMP) interprets the naive value as tz wall time
+    // (→ TIMESTAMPTZ); timezone(tz, TIMESTAMPTZ) renders the instant as tz
+    // wall time (→ TIMESTAMP) — the pair is session-TimeZone-independent
+    "q_make_aware" ->
+      """SELECT event_id,
+         timezone('UTC', timezone('Europe/Amsterdam', ts)) AS ts_utc,
+         timezone('Europe/Amsterdam',
+                  timezone('Europe/Amsterdam', ts)) AS ts_back
+         FROM events WHERE event_id % 37 = 0""",
+    "q_nested_path" ->
+      """SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment,
+         CAST(c_acctbal AS DOUBLE) AS balance
+         FROM customer WHERE c_acctbal < 0""",
     "q_icontains" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE lower(c_name) LIKE '%er%'""",
