@@ -732,20 +732,23 @@ object SparkEntry {
 
     // STREAMING as a graded row (batch ≡ stream, driver-checked): the SAME
     // quality-rule catalog runs through the foreachBatch streaming path in
-    // real micro-batches (maxFilesPerTrigger=1 over an 8-file staging of
-    // the documents table, Trigger.AvailableNow), violations append to a
-    // parquet sink per batch, and the verdict table is re-assembled from
-    // that sink — then graded by the SAME DuckDB SQL as the batch
-    // q_docs_quality_filter. Any drift between the batch engine and the
-    // streaming port (rule semantics, partition keying, violation counts)
-    // breaks the hash match.
+    // real micro-batches (maxFilesPerTrigger=2 over an 8-file staging of
+    // the documents table → 4 batches, Trigger.AvailableNow), violations
+    // append to a parquet sink per batch, and the verdict table is
+    // re-assembled from that sink — then graded by the SAME DuckDB SQL as
+    // the batch q_docs_quality_filter. Any drift between the batch engine
+    // and the streaming port (rule semantics, partition keying, violation
+    // counts) breaks the hash match. Per-batch cost is fixed machinery
+    // (plan + sink append + checkpoint commit), so batch COUNT, not data
+    // volume, sets this row's wall — 4 batches demonstrate cross-batch
+    // accumulation as well as 8 at half the cost.
     "q_stream_quality_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream").toString
       docs.repartition(8).write.mode("overwrite").parquet(s"$tmp/in")
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .option("maxFilesPerTrigger", 2).parquet(s"$tmp/in")
       val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
         partExpr = "source")
       graft.streaming.StreamingValidation.validateStream(
