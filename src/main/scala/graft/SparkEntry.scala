@@ -361,6 +361,30 @@ object SparkEntry {
         .select("p_partkey", "p_name", "p_type")
     }),
 
+    // P12: match-case dispatch filter (CustomerFilter.filter_status,
+    // filters.py:82-93) — each named status selects an EXISTS predicate
+    // over the related table (semi-join arm), and an unknown status falls
+    // through to no filter; the row runs EVERY arm plus the fallthrough
+    // and counts the customers each one admits. OVERDUE mirrors the
+    // reference's unpaid ∧ due < today with a frozen clock (F4).
+    "q_filter_dispatch" -> ((s, dir) => {
+      import graft.crm.StatusDispatch
+      val cust = t(s, dir, "customer")
+      val ords = t(s, dir, "orders")
+      val arms = Map(
+        "ORDERS" -> lit(true),
+        "OPEN" -> (col("o_orderstatus") === "O"),
+        "PENDING" -> (col("o_orderstatus") === "P"),
+        "OVERDUE" -> (col("o_orderstatus") === "P" &&
+          col("o_orderdate") < lit("1998-06-01").cast("timestamp")))
+      (arms.keys.toSeq.sorted :+ "NO_SUCH_STATUS").map { st =>
+        StatusDispatch.filterByStatus(cust, ords,
+            "c_custkey", "o_custkey", arms, st)
+          .agg(count(lit(1)).as("n_customers"))
+          .select(lit(st).as("status"), col("n_customers"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // P6: case-insensitive substring filter (filters.py:46-47)
     "q_icontains" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1499,6 +1523,24 @@ object SparkEntry {
       """SELECT p_partkey, p_name, p_type FROM part
          WHERE lower(coalesce(p_name, '')) LIKE '%ar%'
             OR lower(coalesce(p_type, '')) LIKE '%ar%'""",
+    "q_filter_dispatch" ->
+      """SELECT 'OPEN' AS status, count(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'O')
+         UNION ALL
+         SELECT 'ORDERS', count(*) FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT 'OVERDUE', count(*) FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'P'
+                        AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00')
+         UNION ALL
+         SELECT 'PENDING', count(*) FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'P')
+         UNION ALL
+         SELECT 'NO_SUCH_STATUS', count(*) FROM customer""",
     "q_join_dedup" ->
       """SELECT DISTINCT o_custkey FROM orders
          JOIN lineitem ON o_orderkey = l_orderkey
