@@ -385,6 +385,20 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
     }),
 
+    // P13 range filter (cost/max_pet RangeFilter, filters.py:136-138)
+    // composed with P10 OR-of-Q-objects (booking.py:73-78): between on a
+    // numeric column ORed with an equality arm, grouped per status so the
+    // predicate's interaction with both arms is visible in the counts
+    "q_or_between" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where(col("o_totalprice").between(1000.0, 2000.0) ||
+          col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L)).as("n_urgent"))
+    }),
+
     // P6: case-insensitive substring filter (filters.py:46-47)
     "q_icontains" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1516,6 +1530,14 @@ object SparkEntry {
       """SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment,
          CAST(c_acctbal AS DOUBLE) AS balance
          FROM customer WHERE c_acctbal < 0""",
+    "q_or_between" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_urgent
+         FROM orders
+         WHERE o_totalprice BETWEEN 1000 AND 2000
+            OR o_orderpriority = '1-URGENT'
+         GROUP BY 1""",
     "q_icontains" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE lower(c_name) LIKE '%er%'""",
