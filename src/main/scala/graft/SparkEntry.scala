@@ -385,6 +385,30 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
     }),
 
+    // S4 keyed MERGE upsert as a graded row (same write-to-tmp pattern as
+    // the streaming row): batch1 (event_id %3 != 0) is upserted into a
+    // fresh table keyed by user_id with ts as the version column, then
+    // batch2 (event_id %2 = 0) is upserted on top. MERGE semantics under
+    // oracle: ONE row per key survives globally — a key arriving in
+    // batch2 keeps batch2's latest-ts row REGARDLESS of the existing
+    // row's ts (updates beat existing), any other key keeps batch1's
+    // latest-ts survivor. (user_id, ts) is unique per batch in this
+    // corpus, so the deterministic row-hash tie-break never engages and
+    // the DuckDB re-derivation is exact.
+    "q_upsert_merge" -> ((s, dir) => {
+      import graft.sources.PagesTable
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toString + "/tbl"
+      PagesTable.upsert(s, tmp, ev.where(col("event_id") % 3 =!= 0),
+        keyCols = Seq("user_id"), versionCol = "ts")
+      PagesTable.upsert(s, tmp, ev.where(col("event_id") % 2 === 0),
+        keyCols = Seq("user_id"), versionCol = "ts")
+      PagesTable.read(s, tmp)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+    }),
+
     // P13 range filter (cost/max_pet RangeFilter, filters.py:136-138)
     // composed with P10 OR-of-Q-objects (booking.py:73-78): between on a
     // numeric column ORed with an equality arm, grouped per status so the
@@ -1530,6 +1554,18 @@ object SparkEntry {
       """SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment,
          CAST(c_acctbal AS DOUBLE) AS balance
          FROM customer WHERE c_acctbal < 0""",
+    "q_upsert_merge" ->
+      """WITH b1 AS (SELECT * FROM events WHERE event_id % 3 != 0),
+              b2 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+              w1 AS (SELECT *, row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts DESC) rn FROM b1),
+              w2 AS (SELECT *, row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts DESC) rn FROM b2)
+         SELECT user_id, event_id, ts, event_type FROM w2 WHERE rn = 1
+         UNION ALL
+         SELECT user_id, event_id, ts, event_type FROM w1
+          WHERE rn = 1
+            AND user_id NOT IN (SELECT user_id FROM b2)""",
     "q_or_between" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
