@@ -409,6 +409,27 @@ object SparkEntry {
           col("event_type"))
     }),
 
+    // A12 bulk overwrite as a graded row: write one slice of events into
+    // the day-partitioned layout, then STATIC-overwrite it with a
+    // disjoint slice — the read-back must equal the second slice exactly
+    // (no leftovers from days only the FIRST slice touched, which is
+    // precisely what dynamic partition overwrite would leave behind; the
+    // reference analog is the dummydata wipe-and-reload).
+    "q_bulk_overwrite" -> ((s, dir) => {
+      import graft.sources.PagesTable
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bulk").toString + "/tbl"
+      // slice A: first half of January; slice B: a disjoint sparse set
+      PagesTable.write(ev.where(col("ts") < lit("2024-01-16").cast("timestamp"))
+        .withColumnRenamed("ts", "warc_ts"), tmp)
+      PagesTable.write(ev.where(col("event_id") % 11 === 0)
+        .withColumnRenamed("ts", "warc_ts"), tmp)
+      PagesTable.read(s, tmp)
+        .select(col("event_id"), col("warc_ts").as("ts"), col("user_id"),
+          col("event_type"))
+    }),
+
     // P13 range filter (cost/max_pet RangeFilter, filters.py:136-138)
     // composed with P10 OR-of-Q-objects (booking.py:73-78): between on a
     // numeric column ORed with an equality arm, grouped per status so the
@@ -1554,6 +1575,9 @@ object SparkEntry {
       """SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment,
          CAST(c_acctbal AS DOUBLE) AS balance
          FROM customer WHERE c_acctbal < 0""",
+    "q_bulk_overwrite" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+         WHERE event_id % 11 = 0""",
     "q_upsert_merge" ->
       """WITH b1 AS (SELECT * FROM events WHERE event_id % 3 != 0),
               b2 AS (SELECT * FROM events WHERE event_id % 2 = 0),
