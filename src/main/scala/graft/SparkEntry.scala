@@ -409,6 +409,28 @@ object SparkEntry {
           col("event_type"))
     }),
 
+    // P11 default-filter injection (FilterDefaults, filters.py:31-55):
+    // three scenarios over the same defaults = {status: 'O'} — no
+    // explicit params (default applies), an explicit filter on the SAME
+    // key (replaces the default, does NOT AND with it — 'F' would be
+    // empty under AND), and an explicit filter on a DIFFERENT key
+    // (composes with the default).
+    "q_filter_defaults" -> ((s, dir) => {
+      import graft.crm.FilterDefaults.withDefaults
+      val o = t(s, dir, "orders")
+      val defaults = Map("status" -> (col("o_orderstatus") === "O"))
+      Seq(
+        ("default", withDefaults(o, Map.empty, defaults)),
+        ("explicit_same_key", withDefaults(o,
+          Map("status" -> (col("o_orderstatus") === "F")), defaults)),
+        ("explicit_other_key", withDefaults(o,
+          Map("prio" -> (col("o_orderpriority") === "1-URGENT")), defaults)))
+        .map { case (scn, df) =>
+          df.agg(count(lit(1)).as("n")).select(lit(scn).as("scenario"),
+            col("n"))
+        }.reduce(_.unionByName(_))
+    }),
+
     // A12 bulk overwrite as a graded row: write one slice of events into
     // the day-partitioned layout, then STATIC-overwrite it with a
     // disjoint slice — the read-back must equal the second slice exactly
@@ -1578,6 +1600,15 @@ object SparkEntry {
     "q_bulk_overwrite" ->
       """SELECT event_id, ts, user_id, event_type FROM events
          WHERE event_id % 11 = 0""",
+    "q_filter_defaults" ->
+      """SELECT 'default' AS scenario, count(*) AS n FROM orders
+         WHERE o_orderstatus = 'O'
+         UNION ALL
+         SELECT 'explicit_same_key', count(*) FROM orders
+         WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'explicit_other_key', count(*) FROM orders
+         WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'""",
     "q_upsert_merge" ->
       """WITH b1 AS (SELECT * FROM events WHERE event_id % 3 != 0),
               b2 AS (SELECT * FROM events WHERE event_id % 2 = 0),
