@@ -115,7 +115,16 @@ object Dedup {
   def lshCandidates(withSig: DataFrame, idCol: String,
       bands: Int, out: String = "minhash",
       maxBucketSize: Int = 500): DataFrame = {
+    // the bucket frame feeds THREE consumers (oversized agg + both sides
+    // of the self-join); without a materialization barrier each one
+    // re-runs the whole signature lineage — shingling + numHashes lanes
+    // per doc, the most expensive per-row work in the pipeline — three
+    // times. The checkpointed frame is (id, band, bh): ~24 bytes × bands
+    // per doc, orders of magnitude smaller than the corpus it replaces.
+    // Eager localCheckpoint (same discipline as connectedComponents);
+    // blocks release when the frame is GC'd on the driver.
     val exploded = bandedBuckets(withSig, idCol, bands, out, "id")
+      .localCheckpoint(true)
     val oversized = exploded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
       .select("band", "bh")
@@ -134,11 +143,26 @@ object Dedup {
       textCol: String, k: Int = 3): DataFrame = {
     // exact Jaccard over shingle HASH sets — identical values to the
     // string-set computation (64-bit collision odds are negligible), one
-    // tight pass instead of rebuilding shingle strings per side
-    val sh = df.select(col(idCol).as("id"),
-      graft.functions.SketchExpressions
-        .wordShingleHashes(coalesce(col(textCol), lit("")), k).as("sh"))
-    pairs
+    // tight pass instead of rebuilding shingle strings per side.
+    //
+    // Scale shape: pairs feed two consumers (the id set below + the join
+    // chain) — checkpoint them once so candidate generation never re-runs;
+    // then shingle ONLY docs that actually appear in a pair (semi-join on
+    // the pair-id set) and checkpoint that. Post-LSH the pair-id set is
+    // FAR smaller than the corpus at crawl-scale dup rates, so the
+    // expensive shingling runs once over the small set instead of twice
+    // over everything.
+    val p = pairs.localCheckpoint(true)
+    val ids = p.select(col("a_id").as("id"))
+      .unionByName(p.select(col("b_id").as("id"))).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol))
+      .join(ids, Seq("id"), "left_semi") // BEFORE shingling, so the
+      // expression runs on pair members only, never the full corpus
+      .select(col("id"),
+        graft.functions.SketchExpressions
+          .wordShingleHashes(coalesce(col(textCol), lit("")), k).as("sh"))
+      .localCheckpoint(true)
+    p
       .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), Seq("a_id"))
       .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), Seq("b_id"))
       .withColumn("jaccard", jaccardOf(col("a_sh"), col("b_sh")))
