@@ -119,10 +119,16 @@ object Dedup {
     // of the self-join); without a materialization barrier each one
     // re-runs the whole signature lineage — shingling + numHashes lanes
     // per doc, the most expensive per-row work in the pipeline — three
-    // times. The checkpointed frame is (id, band, bh): ~24 bytes × bands
-    // per doc, orders of magnitude smaller than the corpus it replaces.
-    // Eager localCheckpoint (same discipline as connectedComponents);
-    // blocks release when the frame is GC'd on the driver.
+    // times. An eager localCheckpoint of the tiny (id, band, bh) frame —
+    // ~24 bytes × bands per doc, orders of magnitude smaller than the
+    // corpus it replaces — runs that lineage once; MEMORY_AND_DISK blocks
+    // spill rather than OOM and release when the frame is GC'd (same
+    // discipline as connectedComponents). A repartition-for-exchange-
+    // reuse variant was tried and REJECTED: the planner broadcasts one
+    // self-join side and rebuilds the signature lineage under each
+    // consumer anyway (4 source scans measured in the plan, no
+    // ReusedExchange), so only an explicit materialization barrier
+    // actually deduplicates the work.
     val exploded = bandedBuckets(withSig, idCol, bands, out, "id")
       .localCheckpoint(true)
     val oversized = exploded.groupBy(col("band"), col("bh"))
