@@ -687,6 +687,19 @@ object SparkEntry {
         .stableSorted("a_id", "b_id")
     }),
 
+    // Substring-level dedup (Lee et al. 2022 re-expressed as sliding-
+    // window fingerprints): per-doc count/fraction of 8-token windows
+    // whose exact token sequence appears in >= 2 distinct docs. The
+    // engine groups 64-bit FNV window hashes; the oracle groups the
+    // LITERAL window strings — values agree absent 2^-64 collisions
+    // (same contract as q_jaccard_verify), so coverage counts and
+    // fractions are value-graded, not just shapes.
+    "q_repeated_spans" -> ((s, dir) => {
+      graft.dedup.Dedup.repeatedSpans(t(s, dir, "documents"),
+          "doc_id", "text", k = 8, minDocs = 2)
+        .stableSorted("id")
+    }),
+
     // Content fingerprints, value-checked end-to-end: canonical-text
     // xxhash64 (the exact-dedup key) and the 1-hash MinHash
     // (rollingMinShingleHash). The oracle re-implements XXH64 over UTF-8
@@ -2050,6 +2063,31 @@ object SparkEntry {
            SELECT rc.id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)
          SELECT id, CAST(min(r) AS BIGINT) AS comp
          FROM reach GROUP BY id ORDER BY id""",
+
+    // k=8 token windows as literal strings; a window is duplicated iff
+    // its exact token sequence occurs in >= 2 DISTINCT docs (within-doc
+    // repeats alone don't count). Docs with < 8 tokens have 0 windows.
+    "q_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
+           trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+           '[ \t\n\v\f\r]+'), t -> t != '') AS ws FROM documents),
+         wins AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(ws) - 7),
+             i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS span
+           FROM toks WHERE len(ws) >= 8),
+         docspans AS (SELECT DISTINCT doc_id, span FROM wins),
+         dup AS (SELECT span FROM docspans GROUP BY span HAVING count(*) >= 2),
+         cov AS (SELECT w.doc_id, count(*) AS dup_w FROM wins w
+           JOIN dup USING (span) GROUP BY w.doc_id),
+         tot AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 8 THEN len(ws) - 7 ELSE 0 END AS n_w
+           FROM toks)
+         SELECT t.doc_id AS id,
+           CAST(t.n_w AS BIGINT) AS n_windows,
+           CAST(coalesce(c.dup_w, 0) AS BIGINT) AS dup_windows,
+           CASE WHEN t.n_w = 0 THEN 0.0
+                ELSE coalesce(c.dup_w, 0) * 1.0 / t.n_w END AS dup_fraction
+         FROM tot t LEFT JOIN cov c USING (doc_id) ORDER BY id""",
 
     // exact string-shingle Jaccard over the same (doc_id, doc_id+3)
     // pairs; empty/null texts shingle to the EMPTY set (not [''])

@@ -255,6 +255,60 @@ object Dedup {
     jaccardVerify(df, ids, idCol, textCol, k).where(col("jaccard") >= threshold)
   }
 
+  /** Substring-level duplication signal (the suffix-array dedup idea of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, re-expressed for Spark as sliding-window
+    * fingerprints): per document, the count and fraction of k-token
+    * windows whose EXACT token sequence also appears in at least
+    * `minDocs` distinct documents (the doc itself included) — i.e. how
+    * much of the doc is covered by cross-document repeated spans.
+    * Whole-doc near-dup methods (MinHash/SimHash) miss a boilerplate
+    * paragraph pasted into thousands of otherwise-distinct pages; this
+    * catches exactly that, and `where(dup_fraction > t)` is the
+    * corresponding corpus gate.
+    *
+    * Output: (id, n_windows, dup_windows, dup_fraction), one row per
+    * input row. Docs with fewer than k tokens (or null/empty text) have
+    * 0 windows and dup_fraction 0.0. Window equality is by 64-bit FNV
+    * hash of the space-joined window — identical values to string
+    * equality up to negligible 64-bit collisions (same contract as
+    * [[jaccardVerify]]'s hashed shingle sets).
+    *
+    * Scale shape: shuffles only (id, 8-byte window hash) pairs; the
+    * duplicated-hash set is derived by distinct + count per hash (linear
+    * — a boilerplate span in 10^8 docs is one counter, never a pair
+    * explosion), then flagged back with one hash-partitioned equi-join.
+    * The exploded frame feeds two consumers (dup-set derivation + the
+    * flagging join); window hashing is ONE cheap FNV pass per doc
+    * (~µs/doc), so the consumers deliberately recompute it rather than
+    * pin a tokens-sized frame in executor storage — the opposite trade
+    * from [[lshCandidates]]'s checkpoint, where the recomputed work is
+    * the expensive MinHash signature lanes and the checkpointed frame is
+    * orders of magnitude smaller than its input.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val ex = df.select(col(idCol).as("id"),
+      explode(graft.functions.SketchExpressions
+        .wordWindowHashes(coalesce(col(textCol), lit("")), k)).as("h"))
+    val dupHashes = ex.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("h"), lit(1L).as("_dup"))
+    val perDoc = ex.join(dupHashes, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_dup"), lit(0L))).as("dup_windows"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_fraction",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("dup_windows").cast("double") / col("n_windows")))
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash of the word k-shingle set: bit b is 1 iff the sum of

@@ -170,6 +170,62 @@ case class WordShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "word_shingle_hashes"
 }
 
+/** string → array<long> of ALL word k-token window hashes IN POSITION
+  * ORDER, duplicates kept — the positional sibling of
+  * [[WordShingleHashes]] for substring-level dedup ([[graft.dedup.Dedup
+  * .repeatedSpans]]): coverage accounting needs one entry per window
+  * position, not the distinct set. Tokenization is identical (trim +
+  * `\s+` split) and the hash is the same FNV-1a 64 over the space-joined
+  * window, so values are directly comparable with shingle hashes at the
+  * same k. Deliberate difference: documents with fewer than k tokens
+  * yield an EMPTY array (no whole-doc fallback) — a repeated-span signal
+  * is only defined over full-length windows, and short docs must score
+  * 0 coverage rather than collide on their whole text.
+  */
+case class WordWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be positive: $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def fnv1a(s: String, cont: Long): Long = {
+    var h = cont
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+  private val FnvInit = 0xCBF29CE484222325L
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString.trim
+    if (text.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val toks = text.split("\\s+")
+    if (toks.length < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - k + 1)
+    var start = 0
+    while (start + k <= toks.length) {
+      var h = FnvInit
+      var j = 0
+      while (j < k) {
+        if (j > 0) { h ^= ' '; h *= 0x100000001B3L }
+        h = fnv1a(toks(start + j), h)
+        j += 1
+      }
+      out(start) = h
+      start += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_window_hashes"
+}
+
 /** string → duplicate word-n-gram fraction in one tight loop (the C4/
   * Gopher repetition signal, `TextFunctions.duplicateNgramFraction`'s hot
   * path). The higher-order-function formulation costs ~1.2 ms/row on
@@ -535,6 +591,10 @@ object SketchExpressions {
   def wordShingleHashes(text: Column, k: Int): Column =
     GraftColumnShim.column(
       WordShingleHashes(GraftColumnShim.expression(text), k))
+
+  def wordWindowHashes(text: Column, k: Int): Column =
+    GraftColumnShim.column(
+      WordWindowHashes(GraftColumnShim.expression(text), k))
 
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnShim.column(DotProduct(

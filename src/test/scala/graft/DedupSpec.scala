@@ -73,6 +73,35 @@ class DedupSpec extends SparkSuite {
     assert(diff.isEmpty, diff.collect().mkString(","))
   }
 
+  test("repeatedSpans: cross-doc window coverage, within-doc repeats excluded") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),            // 3 windows @ k=4
+      (2L, "intro words alpha beta gamma delta closing"),     // 4 windows, 1 shared
+      (3L, "alpha beta gamma delta epsilon zeta"),            // exact copy of 1
+      (4L, "short doc"),                                      // < k tokens → 0 windows
+      (5L, "rep rep rep rep rep rep rep rep"),                // repeats WITHIN one doc only
+      (6L, null.asInstanceOf[String])                         // null text
+    ).toDF("doc_id", "text")
+    val expected = Map(
+      1L -> (3L, 3L, 1.0),   // all 3 windows also in doc 3
+      2L -> (4L, 1L, 0.25),  // only "alpha beta gamma delta" is cross-doc
+      3L -> (3L, 3L, 1.0),
+      4L -> (0L, 0L, 0.0),
+      5L -> (5L, 0L, 0.0),   // same span 5x in ONE doc — not cross-doc duplicated
+      6L -> (0L, 0L, 0.0))
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 4)
+      .select("id", "n_windows", "dup_windows", "dup_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, d, f) => id -> (n, d, f) }.toMap
+    assert(got === expected, s"got=$got")
+    // partitioning-invariant (hash grouping, no order dependence)
+    val again = Dedup.repeatedSpans(corpus.repartition(7), "doc_id", "text", k = 4)
+      .select("id", "n_windows", "dup_windows", "dup_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, d, f) => id -> (n, d, f) }.toMap
+    assert(again === expected)
+  }
+
   test("decontamination: eval near-dups flagged across corpora, filter form removes exactly them") {
     // eval set: doc 2's text verbatim (new id) + an unrelated holdout doc
     val eval = Seq(
