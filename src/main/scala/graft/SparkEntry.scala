@@ -566,6 +566,26 @@ object SparkEntry {
         .verdicts.stableSorted("part", "rule_id")
     }),
 
+    // J6 referential-with-error-ROW: the engine's broadcast-left-join
+    // referential pass emitting per-row violations (key/part/path/message),
+    // not just verdict counts. The hosts dim deliberately omits two
+    // sources, so exactly those sources' pages violate; the oracle
+    // re-derives the violation rows with a plain NOT-IN.
+    "q_referential_violations" -> ((s, dir) => {
+      val pages = documentsAsPages(t(s, dir, "documents"))
+      val hosts = pages.select(expr("try_parse_url(url, 'HOST')").as("host"))
+        .where(col("host").isNotNull &&
+          !col("host").isin("src7.example.com", "src13.example.com"))
+        .distinct()
+      val cfg = EngineConfig(keyExpr = "url",
+        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
+      ValidationEngine.run(pages,
+          PagesRules.catalog.collect { case r: graft.rules.Referential => r },
+          dims = Map("hosts" -> hosts), cfg = cfg)
+        .violations
+        .stableSorted("key")
+    }),
+
     // ------------- rows-only entries (no SQL-expressible oracle) --------
 
     // engine versus planted corruption (self-contained generator input)
@@ -2511,6 +2531,22 @@ object SparkEntry {
            (SELECT count(*) FROM
              (SELECT url FROM p WHERE url IS NOT NULL
               GROUP BY url HAVING count(*) > 1)) = 0""",
+
+    // J6: the referential pass's per-row violation output. url host is
+    // source || '.example.com' by construction, so "host not in dim" ==
+    // "source in the omitted set"; message defaults to the rule id.
+    "q_referential_violations" ->
+      """SELECT 'https://' || source || '.example.com/doc/' || doc_id AS key,
+                strftime(make_timestamp((1704067200 + doc_id * 797) * 1000000),
+                  '%Y-%m-%d') AS part,
+                'host_in_dim' AS rule_id,
+                'url' AS path,
+                'host_in_dim' AS message,
+                'error' AS severity
+         FROM documents
+         WHERE source IN ('src7', 'src13')
+         ORDER BY key""",
+
     "q_cosine_neardups" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
          SELECT a.vec_id AS a_id, b.vec_id AS b_id,

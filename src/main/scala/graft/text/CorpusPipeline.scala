@@ -18,6 +18,8 @@ import graft.engine.{EngineConfig, ValidationEngine}
   *      drop a doc whose only near-dup was itself dropped — the standard
   *      greedy trade of pair-based MinHash dedup (a connected-components
   *      pass is the alternative when that matters).
+  *      (2b. optionally, a substring-level repeated-span gate — see
+  *      `maxRepeatedSpanFraction` below)
   *   3. quality filter: drop docs with any ERROR-severity violation from
   *      [[QualityRules]] (warn-severity flags keep the doc)
   *   4. deterministic sample at `sampleRate` ([[Sampling]] — rerun- and
@@ -57,6 +59,15 @@ object CorpusPipeline {
       nearDupStrategy: String = "greedy",
       // components-strategy convergence bound (rounds ~ cluster diameter)
       nearDupMaxIters: Int = 50,
+      // optional substring-level gate between near-dup prune and the
+      // quality rules: drop docs whose [[graft.dedup.Dedup.repeatedSpans]]
+      // dup_fraction EXCEEDS this bound — catches a boilerplate paragraph
+      // pasted into thousands of otherwise-distinct pages, which whole-doc
+      // MinHash (step 2) by construction cannot (each host page's Jaccard
+      // to any other stays below threshold). None (default) = stage
+      // skipped entirely, report shape unchanged.
+      maxRepeatedSpanFraction: Option[Double] = None,
+      spanK: Int = 20, spanMinDocs: Int = 2,
       materialize: DataFrame => DataFrame = _.localCheckpoint(false))
       : (DataFrame, DataFrame) = {
     require(Set("greedy", "components")(nearDupStrategy), nearDupStrategy)
@@ -88,12 +99,23 @@ object CorpusPipeline {
     val keepNear = materialize(keepExact.join(nearDrops,
       Seq("doc_id"), "left_anti"))
 
+    // 2b. (optional) substring-level repeated-span gate
+    val keepSpans = maxRepeatedSpanFraction match {
+      case None => keepNear
+      case Some(maxFrac) =>
+        val spanDrops = Dedup.repeatedSpans(keepNear, "doc_id", "text",
+            k = spanK, minDocs = spanMinDocs)
+          .where(col("dup_fraction") > maxFrac)
+          .select(col("id").as("doc_id"))
+        materialize(keepNear.join(spanDrops, Seq("doc_id"), "left_anti"))
+    }
+
     // 3. quality gate: error-severity violations drop the doc
-    val vios = ValidationEngine.run(QualityRules.withSignals(keepNear),
+    val vios = ValidationEngine.run(QualityRules.withSignals(keepSpans),
       QualityRules.catalog(), Map.empty,
       EngineConfig(keyExpr = "cast(doc_id as string)", partExpr = "source"))
       .violations
-    val keepQuality = materialize(keepNear.join(
+    val keepQuality = materialize(keepSpans.join(
       vios.where(col("severity") === "error")
         .select(col("key").cast("long").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti"))
@@ -107,11 +129,18 @@ object CorpusPipeline {
       df.agg(count(lit(1)).cast("long").as("docs"))
         .select(lit(ord).as("ord"), lit(name).as("stage"), col("docs"))
 
-    val report = stage(0, "input", base)
-      .unionByName(stage(1, "exact_dedup", keepExact))
-      .unionByName(stage(2, "near_dedup", keepNear))
-      .unionByName(stage(3, "quality", keepQuality))
-      .unionByName(stage(4, "sample", sampled))
+    // stage ords stay 0-4 with the default gate OFF so the oracled report
+    // shape (q_corpus_pipeline) is byte-identical; the optional span stage
+    // slots in with its own ord only when enabled
+    val stages: Seq[(String, DataFrame)] =
+      Seq("input" -> base, "exact_dedup" -> keepExact,
+        "near_dedup" -> keepNear) ++
+      (if (maxRepeatedSpanFraction.isDefined) Seq("span_gate" -> keepSpans)
+       else Nil) ++
+      Seq("quality" -> keepQuality, "sample" -> sampled)
+    val report = stages.zipWithIndex
+      .map { case ((name, df), ord) => stage(ord, name, df) }
+      .reduce(_.unionByName(_))
 
     (kept, report)
   }

@@ -95,6 +95,43 @@ class CorpusPipelineSpec extends SparkSuite {
     assert((c & Set(30L, 31L, 32L)) === Set(30L))      // components: exactly the min
   }
 
+  test("repeated-span gate drops boilerplate-dominated docs that whole-doc MinHash cannot pair") {
+    // one 12-token boilerplate paragraph shared by docs 20/21/22; each
+    // doc's remaining text is unique, so pairwise Jaccard stays below the
+    // 0.6 near-dup threshold and MinHash finds NO pairs — exactly the
+    // failure mode the span gate exists for. Doc 20 is ~all boilerplate
+    // (dup_fraction 7/8 at k=6), docs 21/22 carry 16 unique tokens first
+    // (7/19 < 0.5) and must be kept.
+    val boiler = "please subscribe to our newsletter today for daily updates offers and announcements"
+    val withBoiler = corpus.unionByName(Seq(
+      (20L, s"$boiler regards", "en", "s3"),
+      (21L, s"genuine analysis of catalyst plan shapes under adaptive execution with partition pruning in practice $boiler", "en", "s3"),
+      (22L, s"careful measurements of shuffle partition sizing across scale factors on oversubscribed hosts everywhere $boiler", "en", "s3"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val (kept, report) = CorpusPipeline.build(withBoiler,
+      "doc_id", "text", "lang", "source", sampleRate = 1.0,
+      nearDupThreshold = 0.6,
+      maxRepeatedSpanFraction = Some(0.5), spanK = 6)
+    val stages = report.orderBy("ord").as[(Int, String, Long)].collect()
+    assert(stages.map(_._2).toSeq ===
+      Seq("input", "exact_dedup", "near_dedup", "span_gate", "quality", "sample"))
+    // near_dedup passes all three planted docs through; span_gate drops
+    // exactly doc 20
+    val byName = stages.map(s => s._2 -> s._3).toMap
+    assert(byName("near_dedup") - byName("span_gate") === 1L)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(20L) && ids.contains(21L) && ids.contains(22L))
+    // gate OFF: doc 20 survives to the end and the report keeps its
+    // oracled 5-stage shape
+    val (keptOff, reportOff) = CorpusPipeline.build(withBoiler,
+      "doc_id", "text", "lang", "source", sampleRate = 1.0,
+      nearDupThreshold = 0.6)
+    assert(reportOff.orderBy("ord").as[(Int, String, Long)].collect()
+      .map(_._2).toSeq ===
+      Seq("input", "exact_dedup", "near_dedup", "quality", "sample"))
+    assert(keptOff.select("doc_id").as[Long].collect().toSet.contains(20L))
+  }
+
   test("kept set is invariant to input partitioning") {
     val (k1, _) = CorpusPipeline.build(corpus.repartition(7),
       "doc_id", "text", "lang", "source", sampleRate = 0.6)
