@@ -146,24 +146,41 @@ object Dedup {
     * the verify stage after LSH candidate generation.
     */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, k: Int = 3): DataFrame = {
+      textCol: String, k: Int = 3): DataFrame =
+    jaccardVerifyImpl(df, pairs, idCol, textCol, k,
+      prunePairMembers = true)
+
+  /** `prunePairMembers = true` (the post-LSH contract): pairs feed two
+    * consumers (the id set + the join chain) — checkpoint them once so
+    * candidate generation never re-runs; then shingle ONLY docs that
+    * actually appear in a pair (semi-join on the pair-id set). Post-LSH
+    * the pair-id set is FAR smaller than the corpus at crawl-scale dup
+    * rates, so the expensive shingling runs once over the small set
+    * instead of twice over everything.
+    *
+    * `prunePairMembers = false` (the all-pairs/oracle path): when pairs
+    * is a dense cross-join, checkpointing it would MATERIALIZE O(n^2)
+    * rows in executor storage before any Jaccard work, and the semi-join
+    * filters nothing — so the pairs stream lazily through one join and
+    * only the O(n) shingle frame is checkpointed.
+    */
+  private def jaccardVerifyImpl(df: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      prunePairMembers: Boolean): DataFrame = {
     // exact Jaccard over shingle HASH sets — identical values to the
     // string-set computation (64-bit collision odds are negligible), one
     // tight pass instead of rebuilding shingle strings per side.
-    //
-    // Scale shape: pairs feed two consumers (the id set below + the join
-    // chain) — checkpoint them once so candidate generation never re-runs;
-    // then shingle ONLY docs that actually appear in a pair (semi-join on
-    // the pair-id set) and checkpoint that. Post-LSH the pair-id set is
-    // FAR smaller than the corpus at crawl-scale dup rates, so the
-    // expensive shingling runs once over the small set instead of twice
-    // over everything.
-    val p = pairs.localCheckpoint(true)
-    val ids = p.select(col("a_id").as("id"))
-      .unionByName(p.select(col("b_id").as("id"))).distinct()
-    val sh = df.select(col(idCol).as("id"), col(textCol))
-      .join(ids, Seq("id"), "left_semi") // BEFORE shingling, so the
-      // expression runs on pair members only, never the full corpus
+    val p = if (prunePairMembers) pairs.localCheckpoint(true) else pairs
+    val shBase = df.select(col(idCol).as("id"), col(textCol))
+    val shIn =
+      if (prunePairMembers) {
+        val ids = p.select(col("a_id").as("id"))
+          .unionByName(p.select(col("b_id").as("id"))).distinct()
+        // BEFORE shingling, so the expression runs on pair members only,
+        // never the full corpus
+        shBase.join(ids, Seq("id"), "left_semi")
+      } else shBase
+    val sh = shIn
       .select(col("id"),
         graft.functions.SketchExpressions
           .wordShingleHashes(coalesce(col(textCol), lit("")), k).as("sh"))
@@ -252,7 +269,11 @@ object Dedup {
     val ids = df.select(col(idCol).as("a_id"))
       .crossJoin(df.select(col(idCol).as("b_id")))
       .where(col("a_id") < col("b_id"))
-    jaccardVerify(df, ids, idCol, textCol, k).where(col("jaccard") >= threshold)
+    // dense pairs: skip the post-LSH pair checkpoint + member semi-join
+    // (it would pin the whole O(n^2) cross-join in executor storage and
+    // the semi-join filters nothing when every doc appears in a pair)
+    jaccardVerifyImpl(df, ids, idCol, textCol, k, prunePairMembers = false)
+      .where(col("jaccard") >= threshold)
   }
 
   /** Substring-level duplication signal (the suffix-array dedup idea of
@@ -441,11 +462,19 @@ object Dedup {
         edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = und.groupBy(col("u")).agg(min(col("v")).as("nm"))
         .select(col("u"), least(col("u"), col("nm")).as("m"))
+      // ls feeds TWO consumers (the ssMin aggregation and the ss join);
+      // without a barrier each would recompute the whole large-star
+      // subplan — union + groupBy + join + distinct over the round's edge
+      // set, i.e. the round's entire cost — twice (same planner behavior
+      // the lshCandidates checkpoint note records: self-join shapes
+      // rebuild the lineage, no ReusedExchange). Checkpoint once, release
+      // as soon as ss is materialized below.
       val ls = und.join(lsMin, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
+        .localCheckpoint(true)
       // SMALL-STAR: edges are (u > v)-oriented, so each node u's stored
       // neighbors are exactly its smaller ones; re-point them (and u
       // itself) at their minimum m. Emitted edges keep (n > m) orientation
@@ -458,6 +487,7 @@ object Dedup {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
+      ls.unpersist() // ss is materialized; the intermediate can go
       // EXACT convergence: both sides are canonical distinct sets, so
       // equality == same size + empty one-sided difference
       converged = ss.count() == edges.count() &&

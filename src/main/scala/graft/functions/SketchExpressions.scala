@@ -130,7 +130,11 @@ case class WordShingleHashes(child: Expression, k: Int)
   private val FnvInit = 0xCBF29CE484222325L
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.toString.trim
+    // trim ONLY Java-\s whitespace (the columnar TextFunctions.tokens
+    // contract) — String.trim strips every char <= U+0020, so a doc
+    // leading with e.g. U+0001 would tokenize differently here than in
+    // wordShingles and the DuckDB oracles
+    val text = SketchExpressions.trimWs(input.toString)
     if (text.isEmpty) return new GenericArrayData(Array.empty[Long])
     val toks = text.split("\\s+")
     val out = new java.util.LinkedHashSet[java.lang.Long]()
@@ -174,8 +178,9 @@ case class WordShingleHashes(child: Expression, k: Int)
   * ORDER, duplicates kept — the positional sibling of
   * [[WordShingleHashes]] for substring-level dedup ([[graft.dedup.Dedup
   * .repeatedSpans]]): coverage accounting needs one entry per window
-  * position, not the distinct set. Tokenization is identical (trim +
-  * `\s+` split) and the hash is the same FNV-1a 64 over the space-joined
+  * position, not the distinct set. Tokenization is identical (`\s`-only
+  * trim + `\s+` split) and the hash is the same FNV-1a 64 over the
+  * space-joined
   * window, so values are directly comparable with shingle hashes at the
   * same k. Deliberate difference: documents with fewer than k tokens
   * yield an EMPTY array (no whole-doc fallback) — a repeated-span signal
@@ -201,7 +206,7 @@ case class WordWindowHashes(child: Expression, k: Int)
   private val FnvInit = 0xCBF29CE484222325L
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.toString.trim
+    val text = SketchExpressions.trimWs(input.toString)
     if (text.isEmpty) return new GenericArrayData(Array.empty[Long])
     val toks = text.split("\\s+")
     if (toks.length < k) return new GenericArrayData(Array.empty[Long])
@@ -576,6 +581,24 @@ private[functions] object NearestSelection {
 }
 
 object SketchExpressions {
+  /** Strip leading/trailing Java-`\s` whitespace ONLY — the tokenization
+    * contract shared with `TextFunctions.tokens` (regexp_replace
+    * `^\s+|\s+$`) and the DuckDB oracles' explicit `[ \t\n\v\f\r]` trim.
+    * `String.trim` is NOT equivalent: it strips every char <= U+0020
+    * (U+0001, U+0000, ...), which the `\s`-based forms keep as token
+    * bytes — a leading control char would hash differently across the
+    * engine's own forms and against the oracle.
+    */
+  private[functions] def trimWs(s: String): String = {
+    @inline def ws(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var from = 0
+    var until = s.length
+    while (from < until && ws(s.charAt(from))) from += 1
+    while (until > from && ws(s.charAt(until - 1))) until -= 1
+    if (from == 0 && until == s.length) s else s.substring(from, until)
+  }
+
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     GraftColumnShim.column(
       MinHashSignature(GraftColumnShim.expression(shingleHashes), numHashes))

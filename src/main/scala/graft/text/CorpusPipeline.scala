@@ -57,7 +57,9 @@ object CorpusPipeline {
       // ([[graft.dedup.Dedup.connectedComponents]]); costs the label
       // propagation rounds.
       nearDupStrategy: String = "greedy",
-      // components-strategy convergence bound (rounds ~ cluster diameter)
+      // components-strategy convergence bound — alternating star rounds
+      // converge in O(log n), so 50 covers any realistic corpus; hitting
+      // it fails loudly rather than returning a half-merged labeling
       nearDupMaxIters: Int = 50,
       // optional substring-level gate between near-dup prune and the
       // quality rules: drop docs whose [[graft.dedup.Dedup.repeatedSpans]]

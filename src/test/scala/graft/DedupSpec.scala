@@ -73,6 +73,31 @@ class DedupSpec extends SparkSuite {
     assert(diff.isEmpty, diff.collect().mkString(","))
   }
 
+  test("tight-loop tokenization trims only \\s, not String.trim's <=U+0020 set") {
+    import graft.functions.SketchExpressions
+    // U+0001 is NOT \s-whitespace: both the columnar reference
+    // (TextFunctions.tokens: regexp_replace ^\s+|\s+$) and the DuckDB
+    // oracles ([ \t\n\v\f\r] trim) keep it as a token byte, so the
+    // expressions must too — a String.trim would strip it and shift every
+    // window/shingle hash. Identical texts modulo a leading control char
+    // must NOT collide; identical texts modulo leading \s whitespace must.
+    val rows = Seq(
+      (1L, "\u0001alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, " \t\nalpha beta gamma delta epsilon zeta eta theta\r\n")
+    ).toDF("id", "text")
+    val got = rows.select($"id",
+        SketchExpressions.wordWindowHashes($"text", 4).as("w"),
+        SketchExpressions.wordShingleHashes($"text", 4).as("s"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(2L) === got(3L), "leading \\s must trim away")
+    assert(got(1L)._1 !== got(2L)._1, "U+0001 must stay a token byte (windows)")
+    assert(got(1L)._2 !== got(2L)._2, "U+0001 must stay a token byte (shingles)")
+    // and the first window is the ONLY one affected: tails agree
+    assert(got(1L)._1.tail === got(2L)._1.tail)
+  }
+
   test("repeatedSpans: cross-doc window coverage, within-doc repeats excluded") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),            // 3 windows @ k=4

@@ -172,14 +172,21 @@ class PhysicalPlanSpec extends SparkSuite {
     // text / dedup / crm / sources / sim / streaming source ever grows
     // its own copy (SparkEntry and the bench probes under tools/ are the
     // only allowed sites)
+    // resolve from the sbt working dir but fail loudly if launched from
+    // elsewhere — an empty walk would make this guard silently vacuous
     val root = java.nio.file.Paths.get("src/main/scala/graft")
-    val offenders = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .filterNot(p => p.endsWith("SparkEntry.scala") ||
-        p.toString.contains("/tools/"))
-      .filter(p => new String(java.nio.file.Files.readAllBytes(p))
-        .contains("stableSorted"))
-      .toList
+    assert(java.nio.file.Files.isDirectory(root),
+      s"source root not found from cwd ${System.getProperty("user.dir")}")
+    val offenders = scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+      walk =>
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".scala"))
+          .filterNot(p => p.endsWith("SparkEntry.scala") ||
+            p.toString.contains("/tools/"))
+          .filter(p => new String(java.nio.file.Files.readAllBytes(p))
+            .contains("stableSorted"))
+          .toList
+    }
     assert(offenders.isEmpty, s"stableSorted leaked into: $offenders")
   }
 

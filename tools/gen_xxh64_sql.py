@@ -63,9 +63,6 @@ def xxh64_ctes(prefix, source_cte):
             rotl("v.w3", 12) + " + " + rotl("v.w4", 18))
     h0 = merge(merge(merge(merge(f"(({conv}) & {M}::HUGEINT)",
         "v.w1"), "v.w2"), "v.w3"), "v.w4")
-    tail8 = (f"(({mulc(rotl(f'xor(a, {rnd0(chr(119))})', 27), P1)}"
-             f" + {P4}::HUGEINT) & {M}::HUGEINT)").replace("chr(119)", "w")
-    # ^ placeholder trick not used; build directly below instead
     tail8 = (f"(({mulc(rotl(f'xor(a, ' + rnd0('w') + ')', 27), P1)}"
              f" + {P4}::HUGEINT) & {M}::HUGEINT)")
     w32 = word("o4", 4)
