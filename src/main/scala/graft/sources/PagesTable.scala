@@ -21,15 +21,35 @@ object PagesTable {
 
   /** Write pages partitioned by day; `p_date` is derived, the original
     * `warc_ts` column is preserved.
+    *
+    * `filesPerDay` bounds write parallelism WITHIN a day: the shuffle key
+    * is (day, rowhash % filesPerDay), so up to `filesPerDay` tasks write
+    * each day's directory. The default 1 gives the tidy one-file-per-day
+    * layout the tests and small jobs want — but a single task per day is
+    * a serialization funnel at crawl scale (one day of a 10^12-row table
+    * is terabytes); size filesPerDay there so each file lands near
+    * `spark.sql.files.maxPartitionBytes` for the readers.
     */
   def write(pages: DataFrame, dir: String,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    pages
+      mode: SaveMode = SaveMode.Overwrite, filesPerDay: Int = 1): Unit = {
+    require(filesPerDay >= 1, s"filesPerDay must be >= 1: $filesPerDay")
+    val withDay = pages
       .withColumn(PartitionCol, date_format(col("warc_ts"), "yyyy-MM-dd"))
-      .repartition(col(PartitionCol)) // one shuffle → one file set per day
+    // explicit partition count: a bare repartition(cols...) leaves the
+    // count to AQE, which coalesces small shuffles back into one task
+    // and silently defeats the spread
+    val n = math.max(filesPerDay,
+      pages.sparkSession.sessionState.conf.numShufflePartitions)
+    val spread =
+      if (filesPerDay == 1) withDay.repartition(col(PartitionCol))
+      else withDay.repartition(n, col(PartitionCol),
+        pmod(xxhash64(pages.columns.map(c => col(c).cast("string")): _*),
+          lit(filesPerDay)))
+    spread
       .write.mode(mode)
       .partitionBy(PartitionCol)
       .parquet(dir)
+  }
 
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
@@ -61,7 +81,12 @@ object PagesTable {
     */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
       keyCols: Seq[String] = Seq("url"),
-      versionCol: String = "warc_ts"): Unit = {
+      versionCol: String = "warc_ts",
+      // same within-day write-parallelism knob as [[write]]: 1 = tidy
+      // one-file-per-day (tests, small merges); at crawl scale size it so
+      // a rewritten day is written by many tasks, not one
+      filesPerDay: Int = 1): Unit = {
+    require(filesPerDay >= 1, s"filesPerDay must be >= 1: $filesPerDay")
     import org.apache.spark.sql.expressions.Window
     val updatesP = updates
       // partition derives from the VERSION column (day granularity), so a
@@ -112,8 +137,14 @@ object PagesTable {
     try {
       val keptDays = deduped.select(col(PartitionCol).cast("string"))
         .distinct().collect().map(_.getString(0)).toSet
-      deduped
-        .repartition(col(PartitionCol))
+      val nOut = math.max(filesPerDay,
+        spark.sessionState.conf.numShufflePartitions)
+      val spread =
+        if (filesPerDay == 1) deduped.repartition(col(PartitionCol))
+        else deduped.repartition(nOut, col(PartitionCol),
+          pmod(xxhash64(deduped.columns.filterNot(_ == PartitionCol)
+            .map(c => col(c).cast("string")): _*), lit(filesPerDay)))
+      spread
         .write.mode(SaveMode.Overwrite)
         .partitionBy(PartitionCol)
         .parquet(dir)

@@ -60,6 +60,37 @@ class DailyPipelineSpec extends SparkSuite {
     assert(got === expected.as[String].collect().toSet && got.nonEmpty)
   }
 
+  test("filesPerDay spreads a day's write across tasks; default stays one file per day") {
+    // a single task per day is a serialization funnel at crawl scale —
+    // the knob must actually fan the write out, and the layout/content
+    // must be identical either way
+    val root = Files.createTempDirectory("spread").toString
+    val data = PagesGen.generate(spark, nRows = 6000L, nDays = 3)
+    val pages = data.pages.where(year($"warc_ts") === 2024)
+
+    def filesPerDayDirs(dir: String): Map[String, Int] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith(PagesTable.PartitionCol + "="))
+        .map(p => p.getName ->
+          p.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+
+    PagesTable.write(pages, s"$root/one")
+    val one = filesPerDayDirs(s"$root/one")
+    assert(one.nonEmpty && one.values.forall(_ === 1), one.toString)
+
+    PagesTable.write(pages, s"$root/four", filesPerDay = 4)
+    val four = filesPerDayDirs(s"$root/four")
+    assert(four.keySet === one.keySet)
+    assert(four.values.forall(n => n > 1 && n <= 4), four.toString)
+
+    // identical table content regardless of the file spread
+    val a = spark.read.parquet(s"$root/one").drop(PagesTable.PartitionCol)
+    val b = spark.read.parquet(s"$root/four").drop(PagesTable.PartitionCol)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("keyed upsert (S4 MERGE): idempotent re-ingest, latest-per-url wins, untouched days intact") {
     val dir = s"${Files.createTempDirectory("upsert")}/pages"
     val data = PagesGen.generate(spark, nRows = 6000L, nDays = 3)
