@@ -194,13 +194,16 @@ object Audit {
       val globalChecked =
         if (uniqueRules.isEmpty) None
         else liveTotal.orElse {
-          // first run (no audit yet): pending IS the full table, so this
-          // run's own profiles already count every row the full-table
-          // uniqueness pass scanned — no extra count scan needed. On
-          // resumes the drift pass above has already paid for live counts
-          // and liveTotal is authoritative.
-          val pendingRows = checked.agg(sum(col("checked"))).collect().head
-          Some(if (pendingRows.isNullAt(0)) 0L else pendingRows.getLong(0))
+          // first run (no audit yet): pending IS the full table the
+          // uniqueness pass scanned. Count it DIRECTLY — pending.count()
+          // on a partition-pruned parquet read resolves from row-group
+          // metadata; summing this run's `checked` instead would eagerly
+          // execute the whole stats aggregation (HLL + quantiles over
+          // every column) here and then AGAIN when the verdicts/profiles
+          // materialize, doubling the most expensive phase. On resumes
+          // the drift pass above has already paid for live counts and
+          // liveTotal is authoritative.
+          Some(pending.count())
         }
       val verdicts = ValidationEngine.assembleVerdicts(
         spark, rules, violations, checked, globalChecked)

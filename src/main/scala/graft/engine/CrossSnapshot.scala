@@ -23,10 +23,11 @@ object CrossSnapshot {
   def byteIdentity(before: DataFrame, after: DataFrame,
       keyExpr: String, colName: String,
       ruleId: String = "byte_identity"): DataFrame = {
+    // xxhash64 never returns null (a null column value hashes to the
+    // seed), so a_h.isNull identifies unmatched keys all by itself
     def digest(df: DataFrame, pfx: String) = df.select(
       expr(keyExpr).cast("string").as("key"),
-      xxhash64(col(colName)).as(s"${pfx}_h"),
-      col(colName).isNull.as(s"${pfx}_null"))
+      xxhash64(col(colName)).as(s"${pfx}_h"))
 
     val b = digest(before, "b")
     val a = digest(after, "a")
@@ -40,7 +41,7 @@ object CrossSnapshot {
         lit(colName).as("path"),
         lit(s"$colName bytes differ between snapshots").as("message"),
         lit("error").as("severity"))
-    val vanished = joined.where(col("a_h").isNull && col("a_null").isNull)
+    val vanished = joined.where(col("a_h").isNull)
       .select(col("key"),
         lit(ValidationEngine.GlobalPart).as("part"),
         lit(ruleId).as("rule_id"),

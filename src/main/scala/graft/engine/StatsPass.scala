@@ -37,8 +37,11 @@ object StatsPass {
         Seq(
           sum(when(e.isNull, 1L).otherwise(0L)).as(s"_null_$c"),
           approx_count_distinct(e).as(s"_dist_$c"),
-          min(e.cast("string")).as(s"_min_$c"),
-          max(e.cast("string")).as(s"_max_$c")) ++
+          // aggregate in the column's NATIVE type, cast the result — the
+          // profile row is string-typed but min(cast-to-string) would
+          // order numerics lexicographically ("9" > "100")
+          min(e).cast("string").as(s"_min_$c"),
+          max(e).cast("string").as(s"_max_$c")) ++
         (if (qFor.contains(c))
           Seq(percentile_approx(e.cast("double"), probs,
             lit(cfg.quantileAccuracy)).as(s"_q_$c"))

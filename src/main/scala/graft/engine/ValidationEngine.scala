@@ -259,6 +259,11 @@ object ValidationEngine {
     * "memory"); violations, hash-candidate uniqueness, column stats, drift
     * histograms and verdicts all derive from it. Verdicts are assembled
     * from the WRITTEN violations (tiny) — never by re-executing the scan.
+    *
+    * Profiles cover exactly `cfg.statsExprs`; with none configured the
+    * staged paths profile only the engine key (run()'s all-columns
+    * default would require staging every source column — see the
+    * statNamed note below).
     */
   def runToSink(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
@@ -318,8 +323,17 @@ object ValidationEngine {
       // 2. stats profile from the SAME projection (shared long-form agg,
       // measures resolved against the staged _s_ scalar columns)
       val named = cfg.statsExprs.map { case (n, _) => (n, col(s"_s_$n")) }
+      // with no statsExprs configured, the staged paths profile the ENGINE
+      // KEY (null rate / approx-distinct of cfg.keyExpr — named by that
+      // expression, not a leaked internal column) and the per-part row
+      // counts verdict assembly needs. This deliberately DIFFERS from
+      // run(), which reads the source directly and defaults to profiling
+      // every source column: staging every column (document bodies
+      // included) just for default stats would defeat the compact
+      // single-decode stage. Callers wanting column stats through the
+      // sink path list them in statsExprs.
       val statNamed = if (named.nonEmpty) named
-        else Seq(("_key", col("_key"))) // degenerate fallback
+        else Seq((cfg.keyExpr, col("_key")))
       val profilesOut =
         StatsPass.profileFrom(projection, col("_part"), statNamed, cfg)
 

@@ -115,9 +115,15 @@ object PagesTable {
         .unionByName(updatesP), days)
     }
     // NULL keys never match in MERGE (SQL semantics; the Required rule owns
-    // them) — they pass through untouched instead of collapsing into one
-    // window group. Final tie-break hashes the row so repeated upserts are
-    // bit-deterministic even on (key, version) ties.
+    // them) — they never collapse into one window group. But a bare
+    // pass-through would break idempotence: a replayed batch's null-key
+    // rows arrive AGAIN next to the copies already read back from the
+    // arriving day (_src=0), growing the table per replay. So null-key
+    // rows dedupe by FULL ROW CONTENT across existing∪arriving (identical
+    // byte-for-byte duplicates collapse to one — documented semantics;
+    // rows differing in any column are all kept). Final tie-break hashes
+    // the row so repeated upserts are bit-deterministic even on
+    // (key, version) ties.
     val keyedCond = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val rowHash = xxhash64(merged.columns
       .filterNot(Set(PartitionCol, "_src"))
@@ -128,7 +134,7 @@ object PagesTable {
     val deduped = merged.where(keyedCond)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_src")
-      .unionByName(merged.where(!keyedCond).drop("_src"))
+      .unionByName(merged.where(!keyedCond).drop("_src").distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // dynamic overwrite: only partitions present in `deduped` are replaced

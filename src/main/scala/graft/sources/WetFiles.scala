@@ -61,10 +61,18 @@ object WetFiles {
 
   /** Write `docs` (url, warc_ts, text) as `nFiles` WET files under `dir`.
     * Deterministic: records are hash-assigned to files by url and sorted
-    * by url within each file, so the same table always produces the same
-    * bytes regardless of input partitioning.
+    * by (url, warc_ts, text) within each file — the full record, so even
+    * duplicate urls (a re-crawl) serialize in one order and the same
+    * table always produces the same bytes regardless of input
+    * partitioning.
+    *
+    * WARC-Date carries SECOND precision (the WARC/1.0 mandate; the read
+    * side's epoch-seconds model matches). Sub-second timestamps would
+    * silently break the advertised bit-exact round trip, so they FAIL
+    * LOUDLY unless `truncateSubSecond = true` opts into the loss.
     */
-  def write(docs: DataFrame, dir: String, nFiles: Int): Unit = {
+  def write(docs: DataFrame, dir: String, nFiles: Int,
+      truncateSubSecond: Boolean = false): Unit = {
     val spark = docs.sparkSession
     // Hadoop Configuration is not serializable; Spark's wrapper ships it
     // to tasks so FS-scheme settings (s3a creds etc.) survive
@@ -80,7 +88,7 @@ object WetFiles {
     }
     docs.select(col("url"), col("warc_ts"), col("text"))
       .repartition(nFiles, col("url"))
-      .sortWithinPartitions(col("url"))
+      .sortWithinPartitions(col("url"), col("warc_ts"), col("text"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -92,11 +100,20 @@ object WetFiles {
         val fs = path.getFileSystem(conf.value)
         val out = fs.create(tmp, true)
         try it.foreach { r =>
+          // loud on null warc_ts — a bare NPE from toInstant would fail
+          // the task with no row context (url and text nulls are handled
+          // explicitly; the timestamp must be too)
+          require(!r.isNullAt(1),
+            s"WET write: null warc_ts for url=${r.getString(0)}")
           // WARC-Date is an INSTANT: format from epoch in the JVM, never
           // through session-timezone string conversion
+          val inst = r.getTimestamp(1).toInstant
+          require(truncateSubSecond || inst.getNano == 0,
+            s"WET write: sub-second warc_ts $inst for url=${r.getString(0)} " +
+              "cannot round-trip through second-precision WARC-Date; pass " +
+              "truncateSubSecond = true to accept the loss")
           val iso = java.time.format.DateTimeFormatter.ISO_INSTANT.format(
-            r.getTimestamp(1).toInstant
-              .truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+            inst.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
           out.write(renderRecord(r.getString(0), iso,
             if (r.isNullAt(2)) null else r.getString(2)))
         } finally out.close()

@@ -38,9 +38,16 @@ object StreamingValidation {
           if (withinBatchUnique) rules
           else rules.filterNot(_.isInstanceOf[graft.rules.Unique])
         val res = ValidationEngine.run(batch, effective, dims, cfg)
+        // foreachBatch is AT-LEAST-ONCE: a retry re-runs a batchId whose
+        // files may already be in the sink (write succeeded, checkpoint
+        // commit didn't). Appending would double-count that batch's
+        // violations forever. Writing each batch to its own hive-style
+        // batch_id=N directory with overwrite makes the retry replace its
+        // own output — exactly-once sink contents; readers see batch_id
+        // as an ordinary partition column.
         res.violations
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(violationsSink)
+          .write.mode("overwrite")
+          .parquet(s"$violationsSink/batch_id=$batchId")
       }
   }
 
@@ -149,7 +156,7 @@ object StreamingValidation {
     * daily-partition finality.
     */
   def windowedViolationCounts(stream: DataFrame, rules: Seq[ValidationRule],
-      cfg: EngineConfig, tsCol: String,
+      tsCol: String,
       windowLength: String = "10 minutes",
       lateness: String = "5 minutes"): DataFrame = {
     val rowRules = rules.collect { case r: graft.rules.RowRule => r }

@@ -144,4 +144,22 @@ class DailyPipelineSpec extends SparkSuite {
       .as[String].collect().toSet
     assert(!remainingDays.contains(days(0)), remainingDays.toString)
   }
+
+  test("upsert stays idempotent for NULL-key rows (replayed batches don't grow the table)") {
+    // null keys never match in MERGE, but a replayed batch must not
+    // append its null-key rows a second time next to the copies already
+    // in the arriving day
+    val dir = s"${Files.createTempDirectory("upsert_null")}/pages"
+    val batch = Seq(
+      (Some("https://a.example.com/1"), "2024-01-03 10:00:00", "kept"),
+      (None, "2024-01-03 11:00:00", "null-key row"),
+      (None, "2024-01-03 12:00:00", "second distinct null-key row"))
+      .toDF("url", "ts", "text")
+      .select($"url", $"ts".cast("timestamp").as("warc_ts"), $"text")
+    PagesTable.upsert(spark, dir, batch)
+    PagesTable.upsert(spark, dir, batch) // replay, byte-identical batch
+    val rows = PagesTable.read(spark, dir)
+    assert(rows.count() === 3L)
+    assert(rows.where($"url".isNull).count() === 2L)
+  }
 }

@@ -31,6 +31,16 @@ class QuantilesSpec extends SparkSuite {
     assert(q2 === q)
   }
 
+  test("profile min/max aggregate in the native type, not lexicographically") {
+    // lengths {9, 10, 100}: string ordering gives min="10", max="9" — the
+    // profile must report 9 and 100
+    val df = Seq(("a", 9L), ("a", 10L), ("a", 100L)).toDF("part_col", "v")
+    val cfg = EngineConfig("cast(v as string)", "part_col")
+    val row = StatsPass.profile(df, cfg, columns = Seq("v"))
+      .select("min", "max").as[(String, String)].head()
+    assert(row === ("9", "100"), row.toString)
+  }
+
   test("quantiles are WIRED into the default profile (and runToSink sink)") {
     val df = spark.range(20000).select(
       when($"id" % 2 === 0, "a").otherwise("b").as("part_col"),

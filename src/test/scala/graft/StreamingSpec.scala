@@ -146,7 +146,7 @@ class StreamingSpec extends SparkSuite {
       graft.rules.Allowed("valid_type", "event_type",
         Seq("click", "view", "purchase", "signup")))
     val counts = StreamingValidation.windowedViolationCounts(
-      df, rules, EngineConfig("event_type", "'s'"), "ts",
+      df, rules, "ts",
       windowLength = "10 minutes", lateness = "1 minute")
 
     val q = counts.writeStream.outputMode("append")
