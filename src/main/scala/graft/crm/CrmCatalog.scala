@@ -81,8 +81,12 @@ object CrmCatalog {
   def customerRules: Seq[ValidationRule] = Seq(
     GeneratedConsistent("generated_name", "name",
       "concat(first_name, ' ', last_name)"),
+    // reference invoice_email is a NON-NULL field with '' as the no-email
+    // sentinel (customer.py:83 default=""), so NULL in a nullable Spark
+    // column lifts to '' — flagged, same as the send guard and can_send
+    // (an email can't be sent to NULL any more than to '')
     ExprRule("no_invoice_email", "invoice_email",
-      "invoice_email IS NULL OR invoice_email != ''",
+      "coalesce(invoice_email, '') != ''",
       severity = "warn", message = "no invoice email set"),
     ExprRule("last_name_looks_wrong", "last_name",
       "last_name IS NULL OR NOT contains(last_name, '&')",

@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object CrmChecks {
 
+  /** Per-invoice charge subtotal — sum(line × quantity) over attached
+    * charges (invoice.py:283-285). The ONE definition shared by the
+    * accounting invariants and the e-mail render so the two cannot drift
+    * (e.g. one gaining a state filter the other misses).
+    */
+  def invoiceSubtotals(charges: DataFrame,
+      as: String = "subtotal"): DataFrame =
+    charges
+      .where(col("invoice_id").isNotNull)
+      .groupBy(col("invoice_id"))
+      .agg(sum(col("line") * col("quantity")).as(as))
+
   import graft.engine.ValidationEngine.violationCols
 
   private def shape(df: DataFrame, entity: String, keyCol: Column,
@@ -180,10 +192,7 @@ object CrmChecks {
     */
   def accountingInvariants(invoices: DataFrame, charges: DataFrame,
       payments: DataFrame): DataFrame = {
-    val subtotals = charges
-      .where(col("invoice_id").isNotNull)
-      .groupBy(col("invoice_id"))
-      .agg(sum(col("line") * col("quantity")).as("subtotal"))
+    val subtotals = invoiceSubtotals(charges)
     val paid = payments
       .where(col("invoice_id").isNotNull)
       .groupBy(col("invoice_id"))
@@ -192,7 +201,10 @@ object CrmChecks {
       .join(subtotals, col("i.id") === subtotals("invoice_id"), "left")
       .join(paid, col("i.id") === paid("invoice_id"), "left")
       .select(col("i.id").as("id"), col("i.state").as("state"),
-        col("i.adjustment").as("adjustment"),
+        // adjustment is non-null in the reference (default=0.0); lift
+        // NULL to 0 like the e-mail render so total never goes NULL
+        coalesce(col("i.adjustment"), lit(0).cast("decimal(14,2)"))
+          .as("adjustment"),
         coalesce(col("subtotal"), lit(0).cast("decimal(14,2)")).as("subtotal"),
         coalesce(col("paid"), lit(0).cast("decimal(14,2)")).as("paid"))
       .withColumn("total", col("adjustment") + col("subtotal"))
@@ -229,11 +241,25 @@ object CrmChecks {
       protectedCols.map(c => col(c).as(s"b_$c"))): _*)
     val a = after.select((col("id") +: protectedCols.map(c => col(c).as(s"a_$c"))): _*)
     val joined = b.join(a, Seq("id")).where(col("state") =!= "draft")
-    protectedCols.map { c =>
-      shape(joined.where(!(col(s"b_$c") <=> col(s"a_$c"))),
-        "invoice", col("id"), "immutable_after_send", c,
-        lit(s"post-send edit to protected field $c"))
-    }.reduce(_.unionByName(_))
+    // ONE join + one explode of per-column violation structs (the
+    // RuleCompiler violationsArray shape) — a per-column union would put
+    // protectedCols.length copies of the join subtree in the plan and
+    // scan/shuffle both snapshots once per protected field
+    val vioStructs = protectedCols.map { c =>
+      when(!(col(s"b_$c") <=> col(s"a_$c")), struct(
+        lit(c).as("path"),
+        lit(s"post-send edit to protected field $c").as("message")))
+    }
+    joined.select(col("id"), explode(array(vioStructs: _*)).as("v"))
+      .where(col("v").isNotNull)
+      .select(
+        concat(lit("invoice:"), col("id").cast("string")).as("key"),
+        lit("invoice").as("part"),
+        lit("immutable_after_send").as("rule_id"),
+        col("v.path").as("path"),
+        col("v.message").as("message"),
+        lit("error").as("severity"))
+      .select(violationCols.map(col): _*)
   }
 
   /** R15: a booking's pets must belong to the booking's customer

@@ -63,10 +63,7 @@ object InvoiceEmail {
     */
   def renderEmails(invoices: DataFrame, charges: DataFrame,
       customers: DataFrame, todaySql: String): DataFrame = {
-    val subtotals = charges
-      .where(col("invoice_id").isNotNull)
-      .groupBy(col("invoice_id"))
-      .agg(sum(col("line") * col("quantity")).as("_subtotal"))
+    val subtotals = CrmChecks.invoiceSubtotals(charges, as = "_subtotal")
 
     val sendable = invoices.alias("i")
       .where(col("state").isin("draft", "unpaid"))
@@ -75,10 +72,14 @@ object InvoiceEmail {
         col("invoice_email").as("_cust_email"),
         col("last_name").as("_cust_last"))),
         col("i.customer_id") === col("_cust_id"), "left")
-      // can_send: customer present, zero issues (customer.py:130-140)
+      // can_send: customer present, zero issues (customer.py:130-140).
+      // last_name is non-null in the reference ('' possible, NULL not);
+      // a NULL here lifts to '' → no '&' → NO issue. The bare
+      // !contains(NULL) would be NULL and silently drop the row from
+      // BOTH the sendable set and every issue surface.
       .where(col("_cust_id").isNotNull &&
         col("_cust_email").isNotNull && col("_cust_email") =!= "" &&
-        !col("_cust_last").contains("&"))
+        (col("_cust_last").isNull || !col("_cust_last").contains("&")))
 
     val withTotals = sendable
       .join(subtotals, col("i.id") === subtotals("invoice_id"), "left")
@@ -89,7 +90,11 @@ object InvoiceEmail {
         col("_cust_email").as("_email"),
         // send() defaults a missing due to today + 1 week (invoice.py:167-168)
         coalesce(col("i.due"), date_add(expr(todaySql), 7)).as("due"),
-        (coalesce(col("_subtotal"), lit(0)) + col("i.adjustment"))
+        // adjustment is non-null in the reference (invoice.py:63
+        // default=0.0); a NULL lifts to 0 — left raw it would NULL the
+        // total and concat-propagate into a NULL email body
+        (coalesce(col("_subtotal"), lit(0)) +
+          coalesce(col("i.adjustment"), lit(0)))
           .cast("decimal(14,2)").as("total"))
 
     val body = bodyCol(col("customer_name"), col("name"),

@@ -147,13 +147,18 @@ object Multimodal {
 
   /** Frame-sampling plan for video rows (pure expressions): sample one
     * frame every `everyMs` ms of duration — emits (id, frame_no, ts_ms)
-    * rows, the unit a real decoder would be applied to.
+    * rows, the unit a real decoder would be applied to. Videos with an
+    * unknown or non-positive duration emit NO frames — greatest() skips
+    * NULLs, so without the explicit guard a NULL duration_ms would
+    * fabricate a frame at ts 0 for a video nothing can decode (the other
+    * malformed-media paths quarantine via ok=false / zero output; this
+    * one quarantines by emitting nothing).
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
-    media.where(col("kind") === "video")
+    media.where(col("kind") === "video" &&
+        col("meta.duration_ms").isNotNull && col("meta.duration_ms") > 0)
       .select(col("id"),
-        explode(sequence(lit(0L),
-          greatest(col("meta.duration_ms") - 1, lit(0L)),
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1,
           lit(everyMs))).as("ts_ms"))
       .withColumn("frame_no", (col("ts_ms") / everyMs).cast("long"))
 }

@@ -17,9 +17,17 @@ object RuleCompiler {
 
   /** TRUE exactly when `rule` is violated on the current row.
     *
-    * Null semantics follow the reference: only [[Required]] fires on NULL;
-    * every other row rule treats NULL as "not applicable" (Django skips
-    * validators on NULL and relies on the separate null check).
+    * Null semantics: the COLUMN-ANCHORED rules (Regex/Allowed/MinMax/
+    * MaxLength) treat a NULL column as "not applicable" — Django skips
+    * validators on NULL and relies on the separate null check, which is
+    * [[Required]]'s job. [[ExprRule]] and [[Dependency]]'s requirement are
+    * ASSERTIONS over the whole row: they fire unless the predicate
+    * evaluates to TRUE, so a NULL predicate (unknown) IS a violation —
+    * a rule whose predicate can go NULL on legitimate rows must say so
+    * explicitly (`x IS NULL OR ...`), which is how every catalog rule
+    * here is written. That default is deliberate: silently passing rows
+    * the predicate could not evaluate would make a constraint vacuous
+    * exactly on the dirty rows it exists for.
     */
   def violated(rule: RowRule): Column = rule match {
     case Required(_, p, _, _)       => col(p).isNull

@@ -72,7 +72,11 @@ final case class Dependency(ruleId: String, path: String,
     whenSql: String, requireSql: String,
     severity: String = "error", message: String = "") extends RowRule
 
-/** Violation when the SQL boolean predicate is FALSE. */
+/** Violation unless the SQL boolean predicate evaluates TRUE — an
+  * assertion, so a NULL (unknown) predicate fires; add an explicit
+  * `x IS NULL OR ...` escape for rules where NULL is legitimate
+  * (see RuleCompiler.violated's null-semantics note).
+  */
 final case class ExprRule(ruleId: String, path: String, predicateSql: String,
     severity: String = "error", message: String = "") extends RowRule
 

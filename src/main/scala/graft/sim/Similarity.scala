@@ -63,6 +63,25 @@ object Similarity {
     graft.functions.SketchExpressions.srpBucket(
       vec.cast("array<double>"), planes, seed)
 
+  /** (id, vec, tbl, bucket) rows: each vector exploded into `tables`
+    * independent SRP tables (seed family 42 + 1000·t, so a miss in one
+    * table can be caught by another). The ONE banding definition shared
+    * by [[lshTopK]] and [[cosineNearDups]] — a change to the seed scheme
+    * in one path cannot silently diverge the other.
+    */
+  private def srpBanded(df: DataFrame, id: String, vec: String, pfx: String,
+      planes: Int, tables: Int): DataFrame = {
+    val base = df.select(col(id).as(s"${pfx}_id"),
+      col(vec).cast("array<double>").as(s"${pfx}_vec"))
+    val cols = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        srpBucket(col(s"${pfx}_vec"), planes, 42L + 1000L * t).as("bucket")))
+    base.select(col(s"${pfx}_id"), col(s"${pfx}_vec"),
+      explode(array(cols: _*)).as("tb"))
+      .select(col(s"${pfx}_id"), col(s"${pfx}_vec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
   /** LSH-bucketed ANN: assign corpus and queries to SRP buckets (several
     * independent tables to boost recall), equi-join on (table, bucket),
     * exact-cosine verify, keep top-k per query. Approximate: recall < 1,
@@ -73,25 +92,15 @@ object Similarity {
       k: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    // each table uses an independent plane family (seed offset), so a miss
-    // in one table can be caught by another
-    def bucketedSeeded(df: DataFrame, id: String, vec: String, pfx: String) = {
-      val base = df.select(col(id).as(s"${pfx}_id"),
-        col(vec).cast("array<double>").as(s"${pfx}_vec"))
-      val cols = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          srpBucket(col(s"${pfx}_vec"), planes, 42L + 1000L * t).as("bucket")))
-      base.select(col(s"${pfx}_id"), col(s"${pfx}_vec"),
-        explode(array(cols: _*)).as("tb"))
-        .select(col(s"${pfx}_id"), col(s"${pfx}_vec"),
-          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    }
-
-    val c = bucketedSeeded(corpus, idCol, vecCol, "c")
-    val q = bucketedSeeded(queries, qIdCol, qVecCol, "q")
+    val c = srpBanded(corpus, idCol, vecCol, "c", planes, tables)
+    val q = srpBanded(queries, qIdCol, qVecCol, "q", planes, tables)
     val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
       .select(col("q_id"), col("c_id").as("id"),
         cosine(col("c_vec"), col("q_vec")).as("score"))
+      // malformed pairs (dim mismatch, zero norm → NULL cosine) are
+      // quarantined, matching bruteForceTopK — without this, a bucket
+      // pool with < k valid candidates emits rank<=k rows with NULL score
+      .where(col("score").isNotNull)
       .groupBy(col("q_id"), col("id")).agg(max(col("score")).as("score"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("id").asc)
@@ -361,15 +370,8 @@ object Similarity {
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 10, tables: Int = 3,
       maxBucketSize: Int = 500): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"))
-    val cols = (0 until tables).map(t =>
-      struct(lit(t).as("tbl"),
-        srpBucket(col("vec"), planes, 42L + 1000L * t).as("bucket")))
-    val banded = base.select(col("id"), col("vec"),
-      explode(array(cols: _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket"))
+    val banded = srpBanded(df, idCol, vecCol, "x", planes, tables)
+      .withColumnRenamed("x_id", "id").withColumnRenamed("x_vec", "vec")
     val oversized = banded.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
       .select("tbl", "bucket")

@@ -23,6 +23,34 @@ class InvoiceEmailSpec extends SparkSuite {
     assert(ids.toSeq === Seq(1L, 2L, 7L))
   }
 
+  test("NULL last_name / NULL adjustment render, never silently drop or NULL the body") {
+    // reference fields are non-null ('' / 0.0 defaults); NULLs in the
+    // nullable Spark columns lift to those defaults. Before the fix,
+    // !contains(NULL,'&') three-valued-dropped the row from the sendable
+    // set AND every issue surface, and a NULL adjustment concat-propagated
+    // into a NULL email body.
+    val cust = Seq((50L, "Nu", null.asInstanceOf[String], "Nu", "nu@x.com",
+      true, None: Option[Long]))
+      .toDF("id", "first_name", "last_name", "name", "invoice_email",
+        "active", "vet_id")
+    val inv = Seq((90L, 50L, "draft", null.asInstanceOf[String],
+      null.asInstanceOf[java.sql.Date]))
+      .toDF("id", "customer_id", "state", "details", "due")
+      .withColumn("adjustment", lit(null).cast("decimal(14,2)"))
+      .withColumn("customer_name", lit("Nu"))
+      .withColumn("invoice_address", lit(""))
+    val chg = Seq((900L, Some(90L), "unpaid", BigDecimal("12.00"), 2))
+      .toDF("id", "invoice_id", "state", "line", "quantity")
+      .withColumn("parent_charge_id", lit(null).cast("long"))
+    val r = InvoiceEmail.renderEmails(inv, chg, cust,
+      CrmFixtures.FrozenTodaySql)
+      .select($"invoice_id", $"total".cast("string"), $"body")
+      .as[(Long, String, String)].collect()
+    assert(r.length === 1)
+    assert(r.head._2 === "24.00")          // NULL adjustment lifted to 0
+    assert(r.head._3 != null && r.head._3.contains("Payment of 24.00"))
+  }
+
   test("totals, due-defaulting and addressing match send() semantics") {
     val rows = render()
       .select($"invoice_id", $"total".cast("string"), $"due".cast("string"),

@@ -73,4 +73,20 @@ class MultimodalSpec extends SparkSuite {
       .where($"want" =!= $"got")
     assert(check.isEmpty, check.collect().take(3).mkString(","))
   }
+
+  test("unknown/non-positive duration videos emit NO frames (no fabricated ts 0)") {
+    // greatest() skips NULLs, so an unguarded plan would invent a frame at
+    // ts 0 for a video nothing can decode
+    val rows = Seq(
+      (1L, "video", Some(2500L)), // 3 frames
+      (2L, "video", None),        // unknown duration → nothing
+      (3L, "video", Some(0L)),    // zero duration → nothing
+      (4L, "image", Some(1000L))  // not a video → nothing
+    ).toDF("id", "kind", "duration_ms")
+      .select($"id", $"kind", struct($"duration_ms").as("meta"))
+    val got = Multimodal.sampleFrames(rows, everyMs = 1000L)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L), got.toString)
+  }
 }

@@ -143,6 +143,14 @@ class SimilaritySpec extends SparkSuite {
       nCoarse = 3, nFine = 3, nProbeCoarse = 3, nProbeFine = 3, iters = 2)
       .select("q_id", "id").as[(Long, Long)].collect().toSet
     assert(hier === brute)
+    // lshTopK: SRP buckets are computed per-vector independent of dim, so
+    // the malformed row DOES land in real buckets — its NULL cosine must
+    // be quarantined, never ranked (and no rank<=k row may carry a NULL
+    // score when a bucket pool runs short of valid candidates)
+    val lsh = Similarity.lshTopK(poisoned, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+    assert(lsh.where($"score".isNull).isEmpty)
+    assert(!lsh.select("id").as[Long].collect().contains(999L))
   }
 
   test("ivfTrain survives empty and ragged vectors landing among the seeds") {
