@@ -46,8 +46,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the -1 failure sentinel stays in the per-query map but is EXCLUDED
+    // from the headline total — summed in, a crashing 50 s query would
+    // LOWER the total and read as a performance win across rounds; the
+    // failed count makes a regression impossible to miss
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1793,7 +1793,8 @@ object SparkEntry {
              c_name
            FROM customer)
          SELECT c_custkey,
-           regexp_matches(email, '^[^@\s]+@[^@\s]+\.[^@\s]+$') AS email_ok,
+           coalesce(regexp_matches(email, '^[^@\s]+@[^@\s]+\.[^@\s]+$'),
+             FALSE) AS email_ok,
            CASE WHEN regexp_matches(email, '^[^@\s]+@[^@\s]+\.[^@\s]+$')
              THEN '<a href="mailto:' || email || '">' || email || '</a>'
              ELSE email END AS mailto,

@@ -324,6 +324,15 @@ case class SrpBucket(child: Expression, planes: Int, seed: Long)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
+    // null elements → NULL bucket (quarantine), the same contract as
+    // DotProduct/NearestCells — getDouble on a null element would NPE on
+    // GenericArrayData and silently read garbage on UnsafeArrayData,
+    // confidently bucketing a vector the exact-cosine verify rejects
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) return null
+      j += 1
+    }
     var bucket = 0L
     var p = 0
     while (p < planes) {
@@ -457,7 +466,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     // elements) → NULL, mirroring DotProduct/zip_with semantics: such a row
     // must not be confidently bucketed when the exact-cosine verify on the
     // same row would return NULL (and the brute oracle would reject it)
-    if (k > 0 && n != centroids(0).length) return null
+    if (k == 0 || n != centroids(0).length) return null
     val v = new Array[Double](n)
     var vv = 0.0
     var i = 0

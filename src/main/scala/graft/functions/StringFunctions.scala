@@ -31,7 +31,11 @@ object StringFunctions {
     * exact regex `(^\s+|[\n\r]+)` with MULTILINE.
     */
   def minimizeWhitespace(c: Column): Column =
-    trim(regexp_replace(c, "(?m)(^\\s+|[\\n\\r]+)", ""))
+    // (?d): UNIX_LINES, so '^' fires only after \n — Java's default
+    // multiline also fires after a lone \r/\u0085/\u2028/\u2029,
+    // which neither Python re.MULTILINE (the reference) nor the DuckDB
+    // oracle's RE2 does (same divergence nonBlankLineCount pins)
+    trim(regexp_replace(c, "(?dm)(^\\s+|[\\n\\r]+)", ""))
 
   /** F7: email validity — Django validate_email approximated; the F6
     * classifier's EMAIL regex is the reference's own loose form.
@@ -71,7 +75,10 @@ object StringFunctions {
     * `filters.py:46`).
     */
   def icontains(c: Column, needle: String): Column =
-    lower(c).contains(needle.toLowerCase)
+    // Locale.ROOT: the default-locale toLowerCase turns "ID" into dotless
+    // "\u0131d" under tr_TR, silently matching nothing against Spark's
+    // locale-independent lower()
+    lower(c).contains(needle.toLowerCase(java.util.Locale.ROOT))
 
   /** P15: multi-field OR search — the DRF `SearchFilter` shape
     * (`cerberus/api.py:296-298`, `search_fields = ["name", "email"]`):
