@@ -33,11 +33,16 @@ object Dedup {
     * id per group as the canonical survivor (`keep = id == min(ids)`).
     */
   def exactDuplicateRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
-    val groups = fp.groupBy(col("fp"))
-      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+    // window over fp, not groupBy+join-back: the join form puts the
+    // fingerprint lineage in the plan twice (once per consumer, no
+    // ReusedExchange — the recompute shape lshCandidates documents), the
+    // window computes it once and shuffles once
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("keep_id", min(col(idCol)).over(w))
       .where(col("n") > 1)
-    fp.join(groups, Seq("fp"))
       .withColumn("keep", col(idCol) === col("keep_id"))
   }
 
@@ -49,9 +54,12 @@ object Dedup {
     * instead of <1 ms.
     */
   def withShingleHashes(df: DataFrame, textCol: String, k: Int,
-      out: String = "_shh"): DataFrame =
+      out: String = "_shh"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"withShingleHashes would clobber existing column '$out'")
     df.withColumn(out, graft.functions.SketchExpressions
       .wordShingleHashes(coalesce(col(textCol), lit("")), k))
+  }
 
   /** MinHash signature as `numHashes` independent min-hashes of the word
     * k-shingle set — computed by the custom [[graft.functions.MinHashSignature]]
@@ -63,6 +71,8 @@ object Dedup {
   def withMinHash(df: DataFrame, textCol: String,
       numHashes: Int = 64, k: Int = 3,
       out: String = "minhash"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"withMinHash would clobber existing column '$out'")
     import graft.functions.SketchExpressions
     val fallback = transform(sequence(lit(0), lit(numHashes - 1)),
       j => xxhash64(coalesce(col(textCol), lit("")), j))
@@ -115,6 +125,7 @@ object Dedup {
   def lshCandidates(withSig: DataFrame, idCol: String,
       bands: Int, out: String = "minhash",
       maxBucketSize: Int = 500): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1: $bands")
     // the bucket frame feeds THREE consumers (oversized agg + both sides
     // of the self-join); without a materialization barrier each one
     // re-runs the whole signature lineage — shingling + numHashes lanes
@@ -198,6 +209,11 @@ object Dedup {
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       k: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    // bands > numHashes truncates the band slice to length 0 — every doc
+    // then shares one constant band hash and candidate recall silently
+    // collapses to 0 once the stop-band cap prunes the mega-bucket
+    require(bands >= 1 && bands <= numHashes,
+      s"bands must be in [1, numHashes=$numHashes]: $bands")
     val withSig = withMinHash(df, textCol, numHashes, k)
     val cands = lshCandidates(withSig, idCol, bands, maxBucketSize = maxBucketSize)
     jaccardVerify(df, cands, idCol, textCol, k)
@@ -219,9 +235,15 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       maxBucketSize: Int = 500): DataFrame = {
+    require(bands >= 1 && bands <= numHashes,
+      s"bands must be in [1, numHashes=$numHashes]: $bands")
+    // each banded frame feeds two consumers (the combined oversized agg
+    // and the candidate join) — checkpoint the tiny (id, band, bh) frames
+    // once so the shingling + signature lanes never re-run per consumer
+    // (the same no-ReusedExchange shape lshCandidates documents)
     def banded(df: DataFrame, side: String): DataFrame =
       bandedBuckets(withMinHash(df, textCol, numHashes, k), idCol, bands,
-        "minhash", s"${side}_id")
+        "minhash", s"${side}_id").localCheckpoint(true)
     val tb = banded(train, "t")
     val eb = banded(eval, "e")
     val oversized = tb.select(col("band"), col("bh"))
@@ -229,16 +251,26 @@ object Dedup {
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
       .select("band", "bh")
+    // cands feeds three consumers (two member semi-joins + the verify
+    // join) — checkpoint; post-LSH it is tiny
     val cands = tb.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
       .join(eb.join(broadcast(oversized), Seq("band", "bh"), "left_anti"),
         Seq("band", "bh"))
       .select(col("t_id"), col("e_id")).distinct()
+      .localCheckpoint(true)
 
+    // shingle ONLY candidate-pair members (the jaccardVerifyImpl
+    // prunePairMembers discipline): post-LSH the member set is far
+    // smaller than the 10^12-row train corpus, and the expensive shingle
+    // expression must never run over rows no pair references
     def shingled(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"),
-        graft.functions.SketchExpressions
-          .wordShingleHashes(coalesce(col(textCol), lit("")), k)
-          .as(s"${side}_sh"))
+      df.select(col(idCol).as(s"${side}_id"), col(textCol))
+        .join(cands.select(col(s"${side}_id")).distinct(),
+          Seq(s"${side}_id"), "left_semi")
+        .select(col(s"${side}_id"),
+          graft.functions.SketchExpressions
+            .wordShingleHashes(coalesce(col(textCol), lit("")), k)
+            .as(s"${side}_sh"))
     cands
       .join(shingled(train, "t"), Seq("t_id"))
       .join(shingled(eval, "e"), Seq("e_id"))
@@ -338,6 +370,8 @@ object Dedup {
     */
   def withSimHash(df: DataFrame, textCol: String, k: Int = 3,
       out: String = "simhash"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"withSimHash would clobber existing column '$out'")
     import graft.functions.SketchExpressions
     withShingleHashes(df, textCol, k)
       .withColumn(out, coalesce(
@@ -365,17 +399,27 @@ object Dedup {
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, k: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63]: $maxHamming")
     val bandsN = maxHamming + 1
     val width = 64 / bandsN
+    // JVM shifts are mod 64: at maxHamming = 0 (width 64) the naive
+    // (1L << 64) - 1 mask is ZERO, which would collapse every doc into
+    // one bucket — exact-dup recall silently 0 past the stop-band cap
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val withSig = withSimHash(df, textCol, k)
       .select(col(idCol).as("id"), col("simhash"))
+    // same three-consumer shape as lshCandidates (oversized agg + both
+    // self-join sides): checkpoint the small banded frame once so the
+    // shingling + SimHash lineage never re-runs per consumer
     val banded = withSig.select(col("id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(bandsN - 1)), b =>
         struct(b.as("band"),
           call_function("shiftright", col("simhash"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("bv")))).as("bb"))
+            .bitwiseAND(lit(mask)).as("bv")))).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .localCheckpoint(true)
     val oversized = banded.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
       .select("band", "bv")
@@ -438,21 +482,27 @@ object Dedup {
     */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String,
       bCol: String, maxIters: Int = 20): (DataFrame, Int) = {
+    // materialize ONE tiny (a, b) projection of pairs first: callers pass
+    // the whole LSH pipeline as `pairs`, and nodes (two union branches) +
+    // edges would otherwise re-run that upstream lineage three times
+    val base = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
     // every node appearing in pairs, INCLUDING self-loop-only nodes that
     // the canonical edge set drops — they label as their own component
-    val nodes = pairs.select(col(aCol).as("id"))
-      .unionByName(pairs.select(col(bCol).as("id")))
+    val nodes = base.select(col("a").as("id"))
+      .unionByName(base.select(col("b").as("id")))
       .distinct()
       .localCheckpoint(true)
     // canonical orientation (hi, lo), self-loops dropped: both star
     // operations emit (larger, smaller) edges, so the set stays canonical
     // across rounds and set equality is directly comparable
-    var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-        least(col(aCol), col(bCol)).as("v"))
+    var edges = base
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    base.unpersist() // nodes and edges are materialized; the projection can go
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < maxIters) {

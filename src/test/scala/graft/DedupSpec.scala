@@ -127,6 +127,14 @@ class DedupSpec extends SparkSuite {
     assert(again === expected)
   }
 
+  test("simhash maxHamming=0 finds exact twins (single 64-bit band mask edge)") {
+    // width 64 → the naive (1L << 64) - 1 mask is ZERO under JVM mod-64
+    // shifts, which would collapse every doc into one bucket
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L))) // identical shingle sets → identical simhash
+  }
+
   test("decontamination: eval near-dups flagged across corpora, filter form removes exactly them") {
     // eval set: doc 2's text verbatim (new id) + an unrelated holdout doc
     val eval = Seq(
