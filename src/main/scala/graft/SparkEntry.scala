@@ -186,6 +186,25 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // the ENGINE's own StatsPass.profile (the north-star column-stats
+    // leg), value-graded on its exactly-derivable outputs: per-(part,
+    // column) row count, null count/rate, and NATIVE-TYPE min/max — the
+    // oracle aggregates in the column's type and casts the result, so a
+    // lexicographic regression ("9" > "100") hash-mismatches. The
+    // HLL approxDistinct and percentile_approx quantiles are
+    // sketch-approximate by design (engine-specific) and graded by
+    // QuantilesSpec/`q_quantiles` instead.
+    "q_column_profile" -> ((s, dir) => {
+      val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
+        partExpr = "source",
+        statsExprs = Seq("n_chars" -> "n_chars", "lang" -> "lang",
+          "text_len" -> "length(text)"))
+      StatsPass.profile(t(s, dir, "documents"), cfg)
+        .select(col("part"), col("column"), col("rowCount"),
+          col("nullCount"), col("nullRate"), col("min"), col("max"))
+        .stableSorted("part", "column")
+    }),
+
     // column-stats pass shape: per-group count/min/max/distinct/nulls
     "q_stats_profile" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1594,6 +1613,36 @@ object SparkEntry {
          CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
          count(*) AS n
          FROM documents GROUP BY 1""",
+    // StatsPass.profile's exact legs, re-derived per (part, column);
+    // min/max aggregate in the NATIVE type and cast the result, matching
+    // the engine's string-typed profile row
+    "q_column_profile" ->
+      """WITH p AS (SELECT source AS part, n_chars, lang,
+                length(text) AS text_len FROM documents),
+         m AS (
+           SELECT part, 'n_chars' AS "column",
+             count(*) AS rc,
+             sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nc,
+             CAST(min(n_chars) AS VARCHAR) AS mn,
+             CAST(max(n_chars) AS VARCHAR) AS mx
+           FROM p GROUP BY 1
+           UNION ALL
+           SELECT part, 'lang', count(*),
+             sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+             CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+           FROM p GROUP BY 1
+           UNION ALL
+           SELECT part, 'text_len', count(*),
+             sum(CASE WHEN text_len IS NULL THEN 1 ELSE 0 END),
+             CAST(min(text_len) AS VARCHAR), CAST(max(text_len) AS VARCHAR)
+           FROM p GROUP BY 1)
+         SELECT part, "column",
+           CAST(rc AS BIGINT) AS rowCount,
+           CAST(nc AS BIGINT) AS nullCount,
+           nc * 1.0 / rc AS nullRate,
+           mn AS min, mx AS max
+         FROM m ORDER BY part, "column"""",
+
     "q_stats_profile" ->
       """SELECT lang, count(*) AS cnt,
          CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
