@@ -428,6 +428,41 @@ object SparkEntry {
           col("event_type"))
     }),
 
+    // S4 resumable validation as a graded row: two incremental arrivals
+    // (days <= / > the cut) through Audit.runIncremental, then the FULL
+    // audit verdict history dumped. Resume must equal from-scratch: the
+    // per-day verdict grid is identical to a single full run, and each
+    // run's "(global)" uniqueness row describes exactly the table that
+    // run scanned (arrival-1 subset, then the whole table) — all
+    // re-derived in SQL.
+    "q_audit_resume" -> ((s, dir) => {
+      val pages = documentsAsPages(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_audit_q").toString
+      val tableDir = s"$tmp/pages"
+      val auditDir = s"$tmp/audit"
+      val hosts = pages.select(expr("try_parse_url(url, 'HOST')").as("host"))
+        .where(col("host").isNotNull).distinct()
+      val cfg = EngineConfig(keyExpr = "url",
+        partExpr = "date_format(warc_ts, 'yyyy-MM-dd')")
+      val cut = "2024-01-03"
+      def arrive(slice: DataFrame, runId: String): Unit = {
+        graft.sources.PagesTable.write(slice, tableDir,
+          org.apache.spark.sql.SaveMode.Append)
+        Audit.runIncremental(
+          graft.sources.PagesTable.read(s, tableDir)
+            .drop(graft.sources.PagesTable.PartitionCol),
+          PagesRules.catalog, Map("hosts" -> hosts), cfg, auditDir, runId)
+      }
+      val day = date_format(col("warc_ts"), "yyyy-MM-dd")
+      arrive(pages.where(day <= cut), "run_1")
+      arrive(pages.where(day > cut), "run_2")
+      new AuditLog(auditDir, s).verdicts()
+        .select(col("part"), col("rule_id"), col("checked"),
+          col("violations"), col("pass"))
+        .stableSorted("part", "rule_id", "checked")
+    }),
+
     // P11 default-filter injection (FilterDefaults, filters.py:31-55):
     // three scenarios over the same defaults = {status: 'O'} — no
     // explicit params (default applies), an explicit filter on the SAME
@@ -2738,6 +2773,69 @@ object SparkEntry {
            (SELECT count(*) FROM
              (SELECT url FROM p WHERE url IS NOT NULL
               GROUP BY url HAVING count(*) > 1)) = 0""",
+
+    // S4 resume ≡ from-scratch: the per-day grid is the q_pages_validate
+    // SQL verbatim; the two "(global)" uniqueness rows describe what each
+    // incremental run actually scanned (arrival-1 subset, full table)
+    "q_audit_resume" ->
+      """WITH p AS (
+           SELECT strftime(make_timestamp((1704067200 + doc_id * 797) * 1000000),
+                    '%Y-%m-%d') AS part,
+                  'https://' || source || '.example.com/doc/' || doc_id AS url,
+                  make_timestamp((1704067200 + doc_id * 797) * 1000000) AS warc_ts,
+                  text, lang
+           FROM documents),
+         parts AS (SELECT part, count(*) AS checked FROM p GROUP BY 1),
+         counts AS (
+           SELECT part, 'url_required' AS rule_id,
+             CAST(sum(CASE WHEN url IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM p GROUP BY 1
+           UNION ALL SELECT part, 'text_required',
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'warc_ts_required',
+             CAST(sum(CASE WHEN warc_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'lang_present',
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'url_regex',
+             CAST(sum(CASE WHEN url IS NOT NULL
+               AND NOT regexp_matches(url, '^https?://[^ ]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'lang_allowed',
+             CAST(sum(CASE WHEN lang IS NOT NULL
+               AND lang NOT IN ('en','de','fr','es','zh','ja','ru','pt') THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'warc_ts_window',
+             CAST(sum(CASE WHEN warc_ts IS NOT NULL
+               AND (warc_ts < TIMESTAMP '2024-01-01 00:00:00'
+                 OR warc_ts > TIMESTAMP '2024-02-01 00:00:00') THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'html_when_text',
+             CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+               AND ('<html><body>' || text || '</body></html>') IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'url_max_length',
+             CAST(sum(CASE WHEN url IS NOT NULL AND length(url) > 2083
+               THEN 1 ELSE 0 END) AS BIGINT) FROM p GROUP BY 1
+           UNION ALL SELECT part, 'host_in_dim',
+             CAST(0 AS BIGINT) FROM p GROUP BY part)
+         SELECT parts.part AS part, rule_id, checked, violations,
+                violations = 0 AS pass
+         FROM counts JOIN parts USING (part)
+         UNION ALL
+         SELECT '(global)', 'unique_url',
+           (SELECT count(*) FROM p WHERE part <= '2024-01-03'),
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT url FROM p WHERE url IS NOT NULL AND part <= '2024-01-03'
+              GROUP BY url HAVING count(*) > 1)),
+           (SELECT count(*) FROM
+             (SELECT url FROM p WHERE url IS NOT NULL AND part <= '2024-01-03'
+              GROUP BY url HAVING count(*) > 1)) = 0
+         UNION ALL
+         SELECT '(global)', 'unique_url',
+           (SELECT count(*) FROM p),
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT url FROM p WHERE url IS NOT NULL
+              GROUP BY url HAVING count(*) > 1)),
+           (SELECT count(*) FROM
+             (SELECT url FROM p WHERE url IS NOT NULL
+              GROUP BY url HAVING count(*) > 1)) = 0
+         ORDER BY part, rule_id, checked""",
 
     // J6: the referential pass's per-row violation output. url host is
     // source || '.example.com' by construction, so "host not in dim" ==
