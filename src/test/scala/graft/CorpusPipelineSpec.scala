@@ -100,8 +100,9 @@ class CorpusPipelineSpec extends SparkSuite {
     // doc's remaining text is unique, so pairwise Jaccard stays below the
     // 0.6 near-dup threshold and MinHash finds NO pairs — exactly the
     // failure mode the span gate exists for. Doc 20 is ~all boilerplate
-    // (dup_fraction 7/8 at k=6), docs 21/22 carry 16 unique tokens first
-    // (7/19 < 0.5) and must be kept.
+    // (dup_fraction 7/8 at k=6); docs 21/22 carry 14/13 unique prefix
+    // tokens (26/25 tokens -> 21/20 windows, dup fractions 7/21 and 7/20,
+    // both < 0.5) and must be kept.
     val boiler = "please subscribe to our newsletter today for daily updates offers and announcements"
     val withBoiler = corpus.unionByName(Seq(
       (20L, s"$boiler regards", "en", "s3"),

@@ -71,6 +71,18 @@ class DedupSpec extends SparkSuite {
       size(SketchExpressions.wordShingleHashes($"text", 3)).as("fast_n"))
     val diff = both.where($"ref_n" =!= $"fast_n")
     assert(diff.isEmpty, diff.collect().mkString(","))
+    // pairwise overlaps must ALSO agree — per-doc set sizes alone would
+    // pass a changed hash/tokenization that preserves counts but breaks
+    // the cross-doc intersections minhash/LSH actually depends on
+    val rows = docs.select($"doc_id",
+        Shingles.wordShingles($"text", 3).as("ref"),
+        SketchExpressions.wordShingleHashes($"text", 3).as("fast"))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+    for (a <- rows; b <- rows if a._1 < b._1) {
+      val ri = a._2.toSet.intersect(b._2.toSet).size
+      val fi = a._3.toSet.intersect(b._3.toSet).size
+      assert(ri === fi, s"pair (${a._1},${b._1}): ref∩=$ri fast∩=$fi")
+    }
   }
 
   test("tight-loop tokenization trims only \\s, not String.trim's <=U+0020 set") {

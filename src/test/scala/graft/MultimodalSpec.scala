@@ -67,11 +67,15 @@ class MultimodalSpec extends SparkSuite {
 
   test("video frame sampling emits one frame per interval") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+    // LEFT join + null-safe inequality: an inner join would pass
+    // vacuously if the sampler emitted no rows at all (every video must
+    // appear with exactly its expected count, missing == got NULL == fail)
     val check = media.where($"kind" === "video")
       .select($"id", (floor(($"meta.duration_ms" - 1) / 1000L) + 1).as("want"))
-      .join(frames.groupBy("id").agg(count(lit(1)).as("got")), Seq("id"))
-      .where($"want" =!= $"got")
+      .join(frames.groupBy("id").agg(count(lit(1)).as("got")), Seq("id"), "left")
+      .where(!($"want" <=> $"got"))
     assert(check.isEmpty, check.collect().take(3).mkString(","))
+    assert(frames.count() > 0)
   }
 
   test("unknown/non-positive duration videos emit NO frames (no fabricated ts 0)") {

@@ -86,8 +86,14 @@ class PagesValidationSpec extends SparkSuite {
     val truth = data.pages
       .groupBy(date_format($"warc_ts", "yyyy-MM-dd").as("part")).count()
       .as[(String, Long)].collect().toMap
-    val verd = result.verdicts.select("part", "checked").distinct()
-      .as[(String, Long)].collect().toMap
+    val verdPairs = result.verdicts.select("part", "checked").distinct()
+      .as[(String, Long)].collect()
+    // one checked value per part — a toMap over conflicting (part, checked)
+    // pairs would keep an arbitrary winner and could mask an inconsistent
+    // rule reporting a different count for the same partition
+    assert(verdPairs.map(_._1).distinct.length === verdPairs.length,
+      s"conflicting checked counts per part: ${verdPairs.sorted.mkString(",")}")
+    val verd = verdPairs.toMap
     // the "(global)" scope row carries total rows for uniqueness verdicts
     assert(verd - graft.engine.ValidationEngine.GlobalPart === truth)
     assert(verd(graft.engine.ValidationEngine.GlobalPart) === truth.values.sum)

@@ -158,6 +158,8 @@ class PhysicalPlanSpec extends SparkSuite {
     // sampling job that re-executes the whole upstream; the stableSorted
     // dump (one hash exchange + in-partition sort) must stay range-free
     val sfDir = "/root/testdata/sf0.001"
+    assert(new java.io.File(sfDir).isDirectory,
+      s"test data missing at $sfDir (see TESTDATA.md)")
     for (q <- Seq("q_natural_dates", "q_crm_replay", "q_minhash_lsh")) {
       val plan = finalPlanOf(SparkEntry.queries(q)(spark, sfDir))
       assert(!plan.toLowerCase.contains("rangepartitioning"),

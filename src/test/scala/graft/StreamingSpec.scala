@@ -23,8 +23,6 @@ class StreamingSpec extends SparkSuite {
 
     // stream the same rows through a MemoryStream in 3 chunks
     implicit val sqlCtx = spark.sqlContext
-    case class P(url: String, warc_ts: java.sql.Timestamp,
-      html: Array[Byte], text: String, lang: String)
     val rows = data.pages.collect().map(r => (
       if (r.isNullAt(0)) null else r.getString(0),
       r.getTimestamp(1),
