@@ -10,10 +10,38 @@ import org.apache.spark.sql.SparkSession
   * silently swallowed.
   */
 object Bench {
+
+  /** Fixed-work CPU capacity probe: md5 a 64-byte buffer 200k times and
+    * report the wall seconds. On an idle grant this is a near-constant
+    * (~0.1-0.2 s); a hypervisor stall inflates it in lockstep with every
+    * query timed next to it — stamping one reading per query makes a
+    * BENCH outlier self-diagnosing (engine regression: probe flat, query
+    * slow; host stall: probe inflates too). Same workload family as the
+    * session-level probe BENCH.md documents.
+    */
+  def capacityProbeSec(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](64)
+    val t0 = System.nanoTime()
+    var i = 0
+    var acc = 0 // fold the digest back in so the loop cannot be dead-code'd
+    while (i < 200000) {
+      buf(0) = (i & 0xff).toByte
+      buf(1) = acc.toByte
+      acc ^= md.digest(buf)(0)
+      i += 1
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional subset for targeted reruns (comma-separated names); the
+    // driver never sets it, so driver rounds always time everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,11 +49,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var best = Double.MaxValue
       var rows = -1L
       var failures = 0
+      var probeBest = Double.MaxValue
       for (_ <- 0 until reps) {
+        // capacity stamp per rep, taken IMMEDIATELY before the timed run
+        // so it shares the query's host window; keep the best (the reading
+        // least polluted by a transient stall, matching best-of wall)
+        val p = capacityProbeSec()
+        if (p < probeBest) probeBest = p
         val t0 = System.nanoTime()
         try {
           rows = fn(spark, sfDir).count()
@@ -41,10 +77,14 @@ object Bench {
       // -1 only when NO rep succeeded
       val score = if (best == Double.MaxValue) -1.0 else best
       System.err.println(
-        f"[bench] $name%-28s $score%8.2fs rows=$rows (best of $reps, $failures failed)")
-      name -> score
+        f"[bench] $name%-28s $score%8.2fs rows=$rows (best of $reps, $failures failed, capacity probe $probeBest%.3fs)")
+      (name, score, probeBest)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query capacity stamps travel in a SEPARATE map so the driver's
+    // "queries" shape (flat name -> seconds) is unchanged
+    val caps = results.map { case (k, _, p) => s"\"" + k + f"\":$p%.4f" }
       .mkString("{", ",", "}")
     // the -1 failure sentinel stays in the per-query map but is EXCLUDED
     // from the headline total — summed in, a crashing 50 s query would
@@ -53,7 +93,7 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"capacity_probe_sec":$caps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

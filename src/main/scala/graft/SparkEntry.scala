@@ -817,15 +817,23 @@ object SparkEntry {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType)))
       val ingest = graft.sources.JsonlFiles.read(s, out, schema)
-      val stats = Seq(
-        ("good_rows", ingest.good.agg(count(lit(1))).first().getLong(0)),
-        ("quarantined",
-          ingest.quarantined.agg(count(lit(1))).first().getLong(0)),
-        ("good_nchars", ingest.good.agg(coalesce(sum(length(col("text"))),
-          lit(0L)).cast("long")).first().getLong(0)))
-      ingest.release()
-      import s.implicits._
-      stats.toDF("metric", "n").stableSorted("metric")
+      // ONE deferred action for all three metrics: each side collapses to
+      // a 1-row agg, the 1x1 crossJoin stitches them, and the (metric, n)
+      // rows are unpivoted by exploding a literal struct array — the
+      // caller's single count()/dump executes one job over two plain text
+      // scans (the JsonlFiles contract: nothing cached, nothing pinned)
+      val g = ingest.good.agg(count(lit(1)).as("good_rows"),
+        coalesce(sum(length(col("text"))), lit(0L)).cast("long")
+          .as("good_nchars"))
+      val q = ingest.quarantined.agg(count(lit(1)).as("quarantined"))
+      g.crossJoin(q)
+        .select(explode(array(
+          struct(lit("good_rows").as("metric"), col("good_rows").as("n")),
+          struct(lit("quarantined").as("metric"), col("quarantined").as("n")),
+          struct(lit("good_nchars").as("metric"), col("good_nchars").as("n"))))
+          .as("m"))
+        .select(col("m.metric").as("metric"), col("m.n").as("n"))
+        .stableSorted("metric")
     }),
 
     // WET (WARC conversion) source round trip: the documents table is

@@ -14,21 +14,26 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * violation-row philosophy as the validation engine (bad input is DATA,
   * not an exception).
   *
-  * Implementation notes: PERMISSIVE mode + `columnNameOfCorruptRecord`;
-  * the parsed frame is CACHED before filtering because Spark disallows
-  * queries whose only referenced column is the internal corrupt-record
-  * column (SPARK-21610) — filtering good/bad otherwise throws
-  * AnalysisException on some plans.
+  * Implementation: the files are read as plain `text` and parsed with
+  * `from_json` in PERMISSIVE mode with `columnNameOfCorruptRecord` inside
+  * the struct schema — a line is quarantined iff the corrupt field is
+  * non-null. Both frames are plain projections over the text scan:
+  * nothing is cached or pinned, so at corpus scale the ingest costs two
+  * streaming scans of the raw source (one per consumed side) instead of
+  * materializing one full parsed copy in executor storage to support a
+  * quarantine that is a fraction of a percent of rows. (The previous
+  * `DataFrameReader.json` + `.cache()` form existed only to dodge
+  * SPARK-21610, which restricts corrupt-column-only queries on the JSON
+  * *reader* path; `from_json` over a text scan is not subject to it.)
   */
 object JsonlFiles {
 
   val CorruptCol = "_corrupt_record"
 
-  /** The split ingest: `good` rows under the declared schema, `quarantined`
-    * raw lines for triage, and `release()` to drop the backing cache once
-    * both sides are consumed (the cache exists only for SPARK-21610; a
-    * long-lived session ingesting many corpora must release it or pin one
-    * full parsed copy per call).
+  /** The split ingest: `good` rows under the declared schema and
+    * `quarantined` raw lines for triage. Both are lazy projections over
+    * the text source — no backing cache. `release` is retained for source
+    * compatibility with the previous cache-pinning reader and is a no-op.
     */
   final case class JsonlIngest(good: DataFrame, quarantined: DataFrame,
       release: () => Unit)
@@ -36,17 +41,19 @@ object JsonlFiles {
   /** Read `path` as JSONL under `schema`. */
   def read(spark: SparkSession, path: String,
       schema: StructType): JsonlIngest = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare the reserved corrupt column '$CorruptCol'")
     val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
-    val raw = spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
-      .cache() // SPARK-21610: corrupt-column-only queries need this
-    val good = raw.where(col(CorruptCol).isNull)
+    val parsed = spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> CorruptCol)).as("p"))
+      .select((col(s"p.$CorruptCol").as(CorruptCol) +:
+        schema.fieldNames.toSeq.map(f => col(s"p.$f"))): _*)
+    val good = parsed.where(col(CorruptCol).isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
-    val bad = raw.where(col(CorruptCol).isNotNull)
+    val bad = parsed.where(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    JsonlIngest(good, bad, () => { raw.unpersist(); () })
+    JsonlIngest(good, bad, () => ())
   }
 }
