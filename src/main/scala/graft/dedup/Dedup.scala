@@ -31,19 +31,32 @@ object Dedup {
 
   /** Rows that belong to some exact-duplicate group, keeping the smallest
     * id per group as the canonical survivor (`keep = id == min(ids)`).
+    *
+    * Shape: groupBy + join-back, NOT a window over fp. A window must
+    * buffer and sort each fp group inside one WindowExec task, and exact
+    * dedup is precisely where mega-groups live at crawl scale (the shared
+    * fingerprint of empty/whitespace-only or boilerplate-identical pages
+    * can be 10^8+ rows — one spill-bound or failing task). The aggregate
+    * pre-collapses every group MAP-SIDE (partial count/min per task) so
+    * the hot key reaches its reducer as a handful of partial rows, and the
+    * join back streams the probe side — no per-group buffering anywhere,
+    * and AQE can additionally split a skewed probe partition. The price is
+    * recomputing the fingerprint on the probe side (the groupBy and join
+    * lineages don't share an exchange): one cheap xxhash64 pass per row,
+    * the right trade where the recomputed work is trivial — the OPPOSITE
+    * call from [[lshCandidates]], whose checkpoint protects expensive
+    * MinHash lanes.
     */
   def exactDuplicateRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // window over fp, not groupBy+join-back: the join form puts the
-    // fingerprint lineage in the plan twice (once per consumer, no
-    // ReusedExchange — the recompute shape lshCandidates documents), the
-    // window computes it once and shuffles once
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("fp"))
-    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("keep_id", min(col(idCol)).over(w))
+    val withFp = df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+    val groups = withFp
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .where(col("n") > 1)
-      .withColumn("keep", col(idCol) === col("keep_id"))
+    withFp.join(groups, Seq("fp"))
+      .select(df.columns.map(col).toSeq ++
+        Seq(col("fp"), col("n"), col("keep_id"),
+          (col(idCol) === col("keep_id")).as("keep")): _*)
   }
 
   /** Shingle-set 64-bit hashes, materialized ONCE as a column. Crucial for
@@ -155,11 +168,22 @@ object Dedup {
 
   /** Exact Jaccard similarity of word k-shingle sets for given id pairs —
     * the verify stage after LSH candidate generation.
+    *
+    * `prunePairMembers` (default true) is part of the public contract
+    * because it encodes an assumption about the SHAPE of `pairs`: the
+    * default eagerly checkpoints the pair frame and semi-join-prunes the
+    * shingling to pair members — correct and fast when pairs is a sparse
+    * post-LSH candidate set, but a silent OOM trap if a caller passes a
+    * dense O(n²) cross-join (the checkpoint would materialize the whole
+    * cross product in executor storage before any Jaccard work). Callers
+    * with dense pair frames MUST pass `prunePairMembers = false` (see
+    * [[ngramJaccardAllPairs]]); see [[jaccardVerifyImpl]] for the full
+    * trade.
     */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, k: Int = 3): DataFrame =
-    jaccardVerifyImpl(df, pairs, idCol, textCol, k,
-      prunePairMembers = true)
+      textCol: String, k: Int = 3,
+      prunePairMembers: Boolean = true): DataFrame =
+    jaccardVerifyImpl(df, pairs, idCol, textCol, k, prunePairMembers)
 
   /** `prunePairMembers = true` (the post-LSH contract): pairs feed two
     * consumers (the id set + the join chain) — checkpoint them once so
@@ -304,7 +328,7 @@ object Dedup {
     // dense pairs: skip the post-LSH pair checkpoint + member semi-join
     // (it would pin the whole O(n^2) cross-join in executor storage and
     // the semi-join filters nothing when every doc appears in a pair)
-    jaccardVerifyImpl(df, ids, idCol, textCol, k, prunePairMembers = false)
+    jaccardVerify(df, ids, idCol, textCol, k, prunePairMembers = false)
       .where(col("jaccard") >= threshold)
   }
 
@@ -550,6 +574,18 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
+    // The labeling below assumes the fixed point is a STAR FOREST (every u
+    // points directly at its component minimum). Kiveris et al. argue the
+    // per-operation fixed points are stars; the loop's convergence check is
+    // the slightly weaker composed criterion (large-star ∘ small-star left
+    // the edge set unchanged), so assert star shape explicitly: no id may
+    // appear as both an edge source (u) and an edge target (v) — a chain
+    // u→v→w would otherwise mislabel u SILENTLY. One cheap self-join over
+    // the tiny checkpointed final edges; loud failure beats wrong labels.
+    require(edges.select(col("v"))
+        .join(edges.select(col("u").as("v")), Seq("v"), "left_semi")
+        .isEmpty,
+      "connectedComponents fixed point is not a star forest — labels would be wrong")
     // fixed point = star forest: every non-minimum node appears exactly
     // once as u pointing at its component minimum; minima and
     // self-loop-only nodes never appear as u and root themselves

@@ -23,8 +23,12 @@ object PagesTable {
     * `warc_ts` column is preserved.
     *
     * `filesPerDay` bounds write parallelism WITHIN a day: the shuffle key
-    * is (day, rowhash % filesPerDay), so up to `filesPerDay` tasks write
-    * each day's directory. The default 1 gives the tidy one-file-per-day
+    * is (day, rowhash % filesPerDay), so UP TO `filesPerDay` tasks write
+    * each day's directory — an upper bound, not an exact count: distinct
+    * (day, bucket) keys can hash-collide into one reducer when the
+    * shuffle width is small relative to days × filesPerDay, yielding
+    * fewer files (harmless; at crawl-scale widths collisions vanish).
+    * The default 1 gives the tidy one-file-per-day
     * layout the tests and small jobs want — but a single task per day is
     * a serialization funnel at crawl scale (one day of a 10^12-row table
     * is terabytes); size filesPerDay there so each file lands near

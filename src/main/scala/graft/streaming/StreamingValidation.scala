@@ -37,6 +37,29 @@ object StreamingValidation {
         val effective =
           if (withinBatchUnique) rules
           else rules.filterNot(_.isInstanceOf[graft.rules.Unique])
+        // The sink is OWNED BY ONE CHECKPOINT LINEAGE: batch ids are
+        // assigned monotonically per checkpoint, so a correct run (or a
+        // retry of batch N) can only ever see batch_id dirs <= N already
+        // in the sink. A dir > N means a FRESH checkpoint was pointed at a
+        // sink populated by an earlier lineage — per-batch overwrite would
+        // then silently clobber that run's output dir by dir as the new
+        // batch ids climb. Detect it and fail loudly before writing; the
+        // caller either resumes from the original checkpoint or supplies
+        // an empty sink.
+        val sinkPath = new org.apache.hadoop.fs.Path(violationsSink)
+        val fs = sinkPath.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(sinkPath)) {
+          val foreign = fs.listStatus(sinkPath).map(_.getPath.getName)
+            .collect { case n if n.startsWith("batch_id=") =>
+              n.stripPrefix("batch_id=").toLong }
+            .filter(_ > batchId)
+          require(foreign.isEmpty,
+            s"violations sink $violationsSink already holds batch dirs " +
+              s"${foreign.sorted.mkString(",")} beyond this lineage's batch " +
+              s"$batchId — it belongs to another checkpoint lineage; refusing " +
+              "to clobber (resume from the original checkpoint or use a fresh sink)")
+        }
         val res = ValidationEngine.run(batch, effective, dims, cfg)
         // foreachBatch is AT-LEAST-ONCE: a retry re-runs a batchId whose
         // files may already be in the sink (write succeeded, checkpoint

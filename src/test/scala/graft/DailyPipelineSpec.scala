@@ -83,7 +83,16 @@ class DailyPipelineSpec extends SparkSuite {
     PagesTable.write(pages, s"$root/four", filesPerDay = 4)
     val four = filesPerDayDirs(s"$root/four")
     assert(four.keySet === one.keySet)
-    assert(four.values.forall(n => n > 1 && n <= 4), four.toString)
+    // "UP TO filesPerDay" is the write contract: distinct (day, bucket)
+    // keys can hash-collide into one reducer at this tiny shuffle width,
+    // so a per-day n > 1 assertion would be betting on collision-free
+    // hashing of 4 keys (fragile under any schema/content/width change).
+    // Assert the hard bound per day plus spread-happened-at-all across
+    // the table — the latter fails only if EVERY day collapsed to one
+    // file simultaneously (~4e-6 under a uniform hash, vs ~1.6% per day
+    // for the old per-day form).
+    assert(four.values.forall(_ <= 4), four.toString)
+    assert(four.values.sum > one.values.sum, four.toString)
 
     // identical table content regardless of the file spread
     val a = spark.read.parquet(s"$root/one").drop(PagesTable.PartitionCol)

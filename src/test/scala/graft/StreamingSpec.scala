@@ -91,6 +91,37 @@ class StreamingSpec extends SparkSuite {
     assert(streamVios === batchVios)
   }
 
+  test("fresh checkpoint pointed at another lineage's sink fails loudly, not clobbers") {
+    // per-batch overwrite makes retries idempotent WITHIN one checkpoint
+    // lineage; a fresh checkpoint restarts batch ids at 0, so reusing a
+    // populated sink would silently overwrite the earlier run dir by dir.
+    // The guard must refuse before writing anything.
+    implicit val sqlCtx = spark.sqlContext
+    val sink = Files.createTempDirectory("clobber_sink").toString + "/v"
+    // simulate an earlier lineage's output: a batch_id dir beyond batch 0
+    new java.io.File(s"$sink/batch_id=5").mkdirs()
+    val stream = MemoryStream[(Long, String, String, String)]
+    val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
+      partExpr = "source")
+    val writer = StreamingValidation.validateStream(
+      graft.text.QualityRules.withSignals(
+        stream.toDF().toDF("doc_id", "text", "lang", "source")),
+      graft.text.QualityRules.catalog(), Map.empty, cfg,
+      sink, Files.createTempDirectory("clobber_ckpt").toString)
+    stream.addData(Seq((1L, "some text", "en", "s0")))
+    val q = writer.start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("another checkpoint lineage")),
+      messages(e).mkString(" | "))
+    // nothing was written over the foreign dir and no batch 0 dir appeared
+    assert(!new java.io.File(s"$sink/batch_id=0").exists())
+  }
+
   test("stateful FSM stream: state store catches cross-batch source mismatches") {
     import graft.streaming.StreamingValidation.{TransitionEvent, FsmStreamViolation}
     implicit val sqlCtx = spark.sqlContext
