@@ -1015,6 +1015,135 @@ object SparkEntry {
         .stableSorted("part", "rule_id")
     }),
 
+    // STATEFUL streaming (flatMapGroupsWithState) as a graded row: the
+    // FSM legality stream runs over a transition-event table derived from
+    // `events` (per-user event chains; source = previous type, with
+    // planted forged sources at event_id % 97 and planted cross-batch
+    // LATE arrivals at rn % 23 — each bumped one micro-batch later than
+    // its neighbors) through a real 3-micro-batch MemoryStream run, and
+    // the FULL violation set — rule ids AND messages, which embed the
+    // state-store's view of the entity — is re-derived in DuckDB SQL
+    // (running-max lateness + lag-over-applied-events current state).
+    // Any drift in the state store's sequencing (late handling, state
+    // advancement, within-batch event-time ordering) breaks the match.
+    // MemoryStream is the one deliberately driver-resident source here:
+    // it is Structured Streaming's canonical deterministic-batch test
+    // source, and exact batch boundaries are the thing under test.
+    "q_fsm_stateful" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingValidation
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val states = Seq("click", "error", "purchase", "signup", "view")
+      val legal = (for {
+        a <- "start" +: "forged" +: states
+        b <- states
+        if a != b && !(a == "signup" && b == "purchase")
+      } yield (a, b)).toSet
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      // synthetic whole-second per-user timestamps (rn-spaced) make the
+      // late-event MESSAGES — which embed Timestamp.toString — exactly
+      // SQL-renderable; the real `ts` only fixes the per-user order
+      val seq0 = t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("src0",
+          coalesce(lag(col("event_type"), 1).over(w), lit("start")))
+        .withColumn("src", when(col("event_id") % 97 === 0, lit("forged"))
+          .otherwise(col("src0")))
+        .withColumn("t3", expr("(cnt + 2) div 3"))
+        .withColumn("b0", when(col("rn") <= col("t3"), lit(0))
+          .when(col("rn") <= col("t3") * 2, lit(1)).otherwise(lit(2)))
+        .withColumn("batch",
+          when(col("rn") % 23 === 0 && col("b0") < 2, col("b0") + 1)
+            .otherwise(col("b0")))
+        .withColumn("ts_synth",
+          timestamp_seconds(lit(1704067200L) + col("rn") * 60L))
+      val byBatch = seq0.select("batch", "user_id", "ts_synth", "src",
+          "event_type").collect()
+        .map(r => (r.getInt(0), StreamingValidation.TransitionEvent(
+          "user", r.getLong(1), r.getTimestamp(2), r.getString(3),
+          r.getString(4))))
+        .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
+      val stream = MemoryStream[StreamingValidation.TransitionEvent]
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_fsm_stateful").toString
+      val q = StreamingValidation
+        .fsmLegalityStream(stream.toDS(), legal, "start")
+        .toDF().writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      byBatch.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      s.read.parquet(s"$tmp/out")
+        .select(col("key"), col("ruleId").as("rule_id"), col("message"),
+          col("ts"))
+        .stableSorted("key", "ts", "rule_id")
+    }),
+
+    // Streaming EXACT dedup (dropDuplicatesWithinWatermark state store)
+    // as a graded row: batch 0 ingests the corpus (doc-unique texts, with
+    // every doc_id % 50 == 0 text NULLed — no content, must pass
+    // through), batch 1 replays every doc_id % 5 == 0 text plus genuinely
+    // fresh docs, batch 2 replays both earlier batches' content — so the
+    // kept set exercises cross-batch state hits from BOTH prior batches,
+    // null pass-through on every batch, and zero within-batch duplicate
+    // texts (within-batch first-arrival is partition-order-dependent and
+    // deliberately excluded; the batch pass owns within-batch ties). The
+    // oracle re-derives the exact survivor set + timestamps arithmetic-
+    // ally from the documents table.
+    "q_dedup_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val base = 1704067200L
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, lit(null).cast("string"))
+          .otherwise(concat(col("text"), lit(" #"),
+            col("doc_id").cast("string"))).as("t"))
+      def mk(df: DataFrame): Seq[(Long, java.sql.Timestamp, String)] =
+        df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSeq
+      def tss(off: Column): Column = timestamp_seconds(lit(base) + off)
+      val b0 = mk(d.select(col("doc_id"), tss(col("doc_id") % 400).as("ts"), col("t")))
+      val b1 = mk(d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          tss(lit(410L) + col("doc_id") % 60).as("ts"), col("t"))
+        .unionByName(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            tss(lit(415L) + col("doc_id") % 60).as("ts"),
+            concat(lit("fresh doc "), col("doc_id").cast("string")).as("t")))) :+
+        ((30001L, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(base + 480L)), null: String))
+      val b2 = mk(d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 40000L).as("doc_id"),
+          tss(lit(500L) + col("doc_id") % 60).as("ts"),
+          concat(lit("fresh doc "), col("doc_id").cast("string")).as("t"))
+        .unionByName(d.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"),
+            tss(lit(505L) + col("doc_id") % 60).as("ts"), col("t"))))
+      val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_stream").toString
+      val q = graft.streaming.StreamingValidation
+        .dedupStream(stream.toDF().toDF("doc_id", "ts", "t"), "t", "ts",
+          lateness = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      Seq(b0, b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("ts"),
+          length(col("t")).cast("long").as("n_chars"))
+        .stableSorted("doc_id")
+    }),
+
     // Deterministic sampling / stratification / sharding / shuffle over
     // the documents corpus — membership, stratum fate, shard id and global
     // order all decided ONLY by xxhash64(doc_id, 42), so every number here
@@ -2610,6 +2739,85 @@ object SparkEntry {
 
     "q_docs_quality_filter" -> DocsQualityOracleSql,
     "q_stream_quality_filter" -> DocsQualityOracleSql,
+
+    // Stateful FSM stream re-derived: processing order is (batch, ts) per
+    // entity; an event is LATE iff its ts is under the running max of all
+    // earlier-processed events (late events never raise that max, so the
+    // plain running max equals the applied-events max); the entity's
+    // current state at a non-late event is the previous non-late event's
+    // target (lag over the late-filtered set). Messages are rebuilt
+    // verbatim, including the state-store timestamps ('.0' is
+    // java.sql.Timestamp.toString's whole-second rendering).
+    "q_fsm_stateful" ->
+      """WITH seq AS (
+           SELECT user_id, event_id, event_type AS dst,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt,
+             coalesce(lag(event_type) OVER w, 'start') AS src0
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         b AS (
+           SELECT user_id, rn,
+             make_timestamp((1704067200 + rn * 60) * 1000000) AS ts,
+             dst,
+             CASE WHEN event_id % 97 = 0 THEN 'forged' ELSE src0 END AS src,
+             CASE WHEN rn <= (cnt + 2) // 3 THEN 0
+                  WHEN rn <= ((cnt + 2) // 3) * 2 THEN 1 ELSE 2 END AS b0
+           FROM seq),
+         o AS (
+           SELECT *, CASE WHEN rn % 23 = 0 AND b0 < 2 THEN b0 + 1 ELSE b0 END
+             AS batch FROM b),
+         f AS (
+           SELECT *, max(ts) OVER (PARTITION BY user_id ORDER BY batch, ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM o),
+         fl AS (SELECT *, (prev_max IS NOT NULL AND ts < prev_max) AS late FROM f),
+         nl AS (
+           SELECT *, coalesce(lag(dst) OVER (PARTITION BY user_id ORDER BY batch, ts),
+             'start') AS cur
+           FROM fl WHERE NOT late)
+         SELECT 'user:' || user_id AS key, 'fsm_late_event' AS rule_id,
+           'event at ' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+             || '.0 arrived after state advanced at '
+             || strftime(prev_max, '%Y-%m-%d %H:%M:%S') || '.0' AS message, ts
+         FROM fl WHERE late
+         UNION ALL
+         SELECT 'user:' || user_id, 'fsm_source_mismatch',
+           'event claims source ' || src || ' but entity is in ' || cur, ts
+         FROM nl WHERE src <> cur
+         UNION ALL
+         SELECT 'user:' || user_id, 'fsm_legal',
+           'illegal transition ' || src || ' -> ' || dst, ts
+         FROM fl WHERE src = dst OR (src = 'signup' AND dst = 'purchase')
+         ORDER BY key, ts, rule_id""",
+
+    // Streaming dedup survivors re-derived arithmetically: batch 0 rows
+    // all survive (doc-unique texts), later batches survive only if
+    // genuinely fresh ('fresh doc N' in batch 1) or content-free (NULL
+    // text passes through on every batch); every replayed text hits the
+    // state store and is dropped.
+    "q_dedup_stream" ->
+      """WITH d AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 50 = 0 THEN NULL
+                  ELSE text || ' #' || doc_id END AS t
+           FROM documents),
+         out AS (
+           SELECT id AS doc_id, 1704067200 + id % 400 AS sec, t FROM d
+           UNION ALL
+           SELECT id + 10000, 1704067200 + 410 + id % 60, NULL FROM d
+           WHERE id % 50 = 0
+           UNION ALL
+           SELECT id + 20000, 1704067200 + 415 + id % 60,
+             'fresh doc ' || id FROM d WHERE id % 7 = 0
+           UNION ALL
+           SELECT 30001, 1704067200 + 480, NULL
+           UNION ALL
+           SELECT id + 50000, 1704067200 + 505 + id % 60, NULL FROM d
+           WHERE id % 550 = 0)
+         SELECT doc_id, make_timestamp(sec * 1000000) AS ts,
+           CAST(length(t) AS BIGINT) AS n_chars
+         FROM out ORDER BY doc_id""",
 
     // Deterministic sampling family: a TRUE re-derivation, not a recorded
     // golden — Spark's XxHash64 8-byte-long specialization (hashLong
