@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.rules.ValidationRule
 
@@ -53,19 +53,32 @@ final class AuditLog(dir: String, spark: SparkSession) {
     else spark.read.parquet(verdictsDir).select("part").distinct()
       .collect().map(_.getString(0)).toSet - ValidationEngine.GlobalPart
 
-  /** The `checked` row count each data partition had when it was LAST
-    * validated (latest audit_ts wins — a re-validated partition's fresh
-    * rows supersede history). The drift detector compares these against
-    * live counts.
+  /** The `checked` row count and content fingerprint each data partition
+    * had when it was LAST validated (latest audit_ts wins — a re-validated
+    * partition's fresh rows supersede history). The drift detector
+    * compares these against live values. The fingerprint is None for
+    * audit rows written before the content_fp column existed, or by runs
+    * with content drift disabled — those partitions fall back to
+    * count-only drift detection.
     */
-  def latestCheckedByPart(): Map[String, Long] =
+  def latestCheckedByPart(): Map[String, (Long, Option[String])] =
     if (!exists(verdictsDir)) Map.empty
-    else spark.read.parquet(verdictsDir)
-      .where(col("part") =!= ValidationEngine.GlobalPart)
-      .groupBy(col("part"))
-      .agg(max(struct(col("audit_ts"), col("checked")))
-        .getField("checked").as("checked"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    else {
+      val v = spark.read.parquet(verdictsDir)
+      val withFp =
+        if (v.columns.contains("content_fp")) v
+        else v.withColumn("content_fp", lit(null).cast("string"))
+      withFp
+        .where(col("part") =!= ValidationEngine.GlobalPart)
+        .groupBy(col("part"))
+        .agg(max(struct(col("audit_ts"), col("checked"), col("content_fp")))
+          .as("latest"))
+        .select(col("part"), col("latest.checked").as("checked"),
+          col("latest.content_fp").as("content_fp"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), Option(r.getString(2))))
+        .toMap
+    }
 
   /** Physically drop all verdict rows for the given partitions — the plain-
     * parquet analog of an Iceberg row-level DELETE, used when a validated
@@ -105,6 +118,17 @@ final class AuditLog(dir: String, spark: SparkSession) {
 
 object Audit {
 
+  /** Order-independent per-partition content fingerprint: the exact SUM
+    * (decimal(38,0) — no overflow below ~10^18 rows/partition, no
+    * order-dependence, map-side partial aggregation) of xxhash64 over
+    * every column of the row, rendered as a string for stable parquet
+    * round-trips. Two partitions with equal fingerprints hold the same
+    * multiset of row hashes up to negligible 64-bit collision odds.
+    */
+  private def contentFp(df: DataFrame): Column =
+    sum(xxhash64(df.columns.map(col).toSeq: _*).cast("decimal(38,0)"))
+      .cast("string")
+
   /** Incremental (resumable) validation: validate only partitions not yet
     * in the audit, append their verdicts, return the result for the NEW
     * partitions only. Re-running after success is a no-op; re-running after
@@ -125,16 +149,24 @@ object Audit {
     * on a first run, from this run's own profiles), so it always describes
     * the table the uniqueness pass actually scanned.
     *
-    * KNOWN LIMIT of count-based detection: a rewrite that changes CONTENT
-    * while preserving the row count (an in-place UPDATE) is invisible. On
-    * plain parquet that requires a deliberate same-cardinality rewrite
-    * (compaction and late-arrival merges change counts); on Iceberg, key
-    * the comparison on the partition's snapshot/sequence id instead and
-    * every rewrite is visible.
+    * With `contentDrift` (the default), drift compares (row count, content
+    * fingerprint) per partition — an order-independent sum of full-row
+    * xxhash64 — so even a same-cardinality in-place UPDATE (same count,
+    * new bytes) is caught, superseded and re-validated; count-based
+    * detection alone is blind to exactly that rewrite. COST MODEL: the
+    * fingerprint turns the resume's drift pass from a narrow
+    * partition-column scan into one full-row scan of the live table (all
+    * columns decode, but pure scan+tiny agg — no shuffle beyond one row
+    * per partition). At 10^12-row scale prefer keying drift on Iceberg
+    * snapshot/sequence ids (every rewrite visible for free) and set
+    * `contentDrift = false`; on plain parquet the fingerprint is the only
+    * guarantee, and `contentDrift = false` reverts to count-only
+    * detection with the documented UPDATE blind spot.
     */
   def runIncremental(df: DataFrame, rules: Seq[ValidationRule],
       dims: Map[String, DataFrame], cfg: EngineConfig,
-      auditDir: String, runId: String): Option[ValidationResult] = {
+      auditDir: String, runId: String,
+      contentDrift: Boolean = true): Option[ValidationResult] = {
     val spark = df.sparkSession
     val audit = new AuditLog(auditDir, spark)
     val done0 = audit.validatedParts()
@@ -144,24 +176,43 @@ object Audit {
     // Drift detection: a crawl table is compacted, re-written and pruned
     // routinely, so "this partition has verdict rows" is not proof the rows
     // it described still exist. Compare the audit's latest per-partition
-    // checked count against a LIVE count per partition — a single
-    // count-only pass (one narrow column for the partition expression, no
-    // document bodies). Any validated partition whose count changed is
+    // (checked count, content fingerprint) against LIVE values in a single
+    // aggregate pass (count-only — one narrow partition-expression column
+    // — when contentDrift is off; full-row when on, see the scaladoc cost
+    // model). Any validated partition whose count or content changed is
     // re-validated this run and its stale audit rows are physically
     // superseded; a validated partition that vanished from the table has
     // its rows dropped outright. The live totals also become the global
     // uniqueness verdict's `checked` figure, so it always describes
     // exactly the rows the full-table uniqueness pass scanned — never a
     // stale audit reconstruction.
-    val (done, liveTotal, drifted): (Set[String], Option[Long], Set[String]) =
-      if (done0.isEmpty) (done0, None, Set.empty[String])
+    val (done, liveTotal, drifted, liveFp): (Set[String], Option[Long],
+        Set[String], Map[String, String]) =
+      if (done0.isEmpty)
+        (done0, None, Set.empty[String], Map.empty[String, String])
       else {
-        val live = df.groupBy(partKey.as("part")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val fpCol =
+          if (contentDrift) contentFp(df) else lit(null).cast("string")
+        val live = df.groupBy(partKey.as("part"))
+          .agg(count(lit(1)).as("n"), fpCol.as("fp"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), Option(r.getString(2))))
+          .toMap
         val auditCounts = audit.latestCheckedByPart()
-        val dr = done0.filter(p => live.get(p) != auditCounts.get(p))
+        // drift = count changed, or (when BOTH sides carry a fingerprint)
+        // content changed under a preserved count. A missing side (legacy
+        // audit rows, contentDrift off) degrades to count-only — never a
+        // spurious full re-validation after an upgrade.
+        val dr = done0.filter { p =>
+          (live.get(p), auditCounts.get(p)) match {
+            case (Some((ln, lf)), Some((sn, sf))) =>
+              ln != sn || (lf.isDefined && sf.isDefined && lf != sf)
+            case (lv, st) => lv.map(_._1) != st.map(_._1)
+          }
+        }
         audit.supersede(dr)
-        (done0 -- dr, Some(live.valuesIterator.sum), dr)
+        (done0 -- dr, Some(live.valuesIterator.map(_._1).sum), dr,
+          live.collect { case (p, (_, Some(f))) => p -> f })
       }
 
     // Partition pruning: the filter on partExpr is pushed to the scan, so
@@ -205,8 +256,28 @@ object Audit {
           // liveTotal is authoritative.
           Some(pending.count())
         }
-      val verdicts = ValidationEngine.assembleVerdicts(
+      val verdicts0 = ValidationEngine.assembleVerdicts(
         spark, rules, violations, checked, globalChecked)
+      // Stamp each data partition's verdict rows with its content
+      // fingerprint — the resume's drift compare reads it back. Resumes
+      // already paid for the fingerprints in the drift pass above; only a
+      // FIRST run (no audit yet) computes them here, over pending (= the
+      // whole table on that run). The "(global)" row carries NULL: it
+      // describes a cross-partition scan, not a partition's bytes.
+      val fpByPart: Map[String, String] =
+        if (!contentDrift) Map.empty
+        else if (liveFp.nonEmpty) liveFp
+        else pending.groupBy(partKey.as("part"))
+          .agg(contentFp(pending).as("fp"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val verdicts =
+        if (fpByPart.isEmpty)
+          verdicts0.withColumn("content_fp", lit(null).cast("string"))
+        else {
+          val fpDf = spark.createDataFrame(fpByPart.toSeq)
+            .toDF("part", "content_fp")
+          verdicts0.join(broadcast(fpDf), Seq("part"), "left")
+        }
       val res = ValidationResult(violations, verdicts, profiles)
       audit.append(res.verdicts, runId)
       Some(res)

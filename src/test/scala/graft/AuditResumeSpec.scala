@@ -189,6 +189,59 @@ class AuditResumeSpec extends SparkSuite {
       Map.empty, cfg, dir, "run5").isEmpty)
   }
 
+  test("content drift: a same-cardinality in-place UPDATE is caught and re-validated") {
+    // count-based detection alone is blind to this exact rewrite — same
+    // row count, new bytes. The content fingerprint must flag it, the
+    // partition must be superseded + re-validated, and the new verdict
+    // must reflect the UPDATED content.
+    val dir = Files.createTempDirectory("audit_fp").toString
+    def mk(rows: Seq[(String, String, String)]) = rows
+      .map { case (url, ts, lang) =>
+        (url, ts, "<html/>".getBytes, s"text of $url", lang) }
+      .toDF("url", "ts", "html", "text", "lang")
+      .select($"url", $"ts".cast("timestamp").as("warc_ts"),
+        $"html", $"text", $"lang")
+    val rules = Seq(graft.rules.Required("url_required", "url"),
+      graft.rules.Allowed("lang_allowed", "lang", Seq("en", "de")))
+    val day1 = mk(Seq(
+      ("https://h0.example.com/a", "2024-01-01 01:00:00", "en"),
+      ("https://h0.example.com/b", "2024-01-01 02:00:00", "en")))
+    assert(Audit.runIncremental(day1, rules, Map.empty, cfg, dir, "run1")
+      .isDefined)
+    val audit = new AuditLog(dir, spark)
+    // the verdict rows carry the partition's content fingerprint
+    val fp1 = audit.latestCheckedByPart()("2024-01-01")
+    assert(fp1._1 === 2L && fp1._2.isDefined)
+
+    // identical content → true no-op (the fingerprint is deterministic)
+    assert(Audit.runIncremental(day1, rules, Map.empty, cfg, dir, "run2")
+      .isEmpty)
+
+    // in-place UPDATE: same two urls, same count, one lang rewritten to
+    // an ILLEGAL value — only the content differs
+    val day1b = mk(Seq(
+      ("https://h0.example.com/a", "2024-01-01 01:00:00", "en"),
+      ("https://h0.example.com/b", "2024-01-01 02:00:00", "xx")))
+    val r3 = Audit.runIncremental(day1b, rules, Map.empty, cfg, dir, "run3")
+    assert(r3.isDefined, "same-count content rewrite must be detected")
+    // the re-validation SAW the new bytes: lang_allowed now fails
+    val v3 = r3.get.verdicts.where($"rule_id" === "lang_allowed")
+      .select("part", "violations").as[(String, Long)].collect().toSet
+    assert(v3 === Set(("2024-01-01", 1L)))
+    // stale run1 rows superseded; fingerprint advanced to the new content
+    assert(audit.verdicts().where($"part" === "2024-01-01")
+      .select("run_id").distinct().as[String].collect().toSeq === Seq("run3"))
+    val fp3 = audit.latestCheckedByPart()("2024-01-01")
+    assert(fp3._1 === 2L && fp3._2.isDefined && fp3._2 != fp1._2)
+    // and the post-update state is stable
+    assert(Audit.runIncremental(day1b, rules, Map.empty, cfg, dir, "run4")
+      .isEmpty)
+
+    // with contentDrift OFF the same rewrite is (documentedly) invisible
+    assert(Audit.runIncremental(day1, rules, Map.empty, cfg, dir, "run5",
+      contentDrift = false).isEmpty)
+  }
+
   test("property: incremental state after random drift equals a clean from-scratch run") {
     // randomized drift scenarios (seeded): generate a multi-day table,
     // validate; then grow/shrink/delete random partitions and resume. The
