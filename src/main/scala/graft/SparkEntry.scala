@@ -1508,6 +1508,26 @@ object SparkEntry {
         .orderBy("customer_id")
     }),
 
+    // §3.1 nested serializer read-model (CustomerSerializer,
+    // serializers.py:232-256): the customer document with
+    // pets/contacts/bookings as SORTED array<struct> columns, built by
+    // aggregate-then-join in one pass (no per-row lookups, no fanout).
+    // The arrays are graded as their to_json rendering — Spark's compact
+    // JSON of array<struct> and DuckDB's to_json(list(struct_pack(...)))
+    // agree byte-for-byte on null-free fields, so element order, field
+    // order and every value are hash-compared (the driver's sort cannot
+    // order raw array<struct> columns).
+    "q_customer_nested" -> ((s, dir) => {
+      val tb = graft.fixtures.CrmFixtures.build(s)
+      graft.crm.CustomerDoc.nestedCustomers(tb.customers, tb.pets,
+          tb.contacts, tb.bookings)
+        .select(col("customer_id"), col("name"), col("invoice_email"),
+          to_json(col("pets")).as("pets_json"),
+          to_json(col("contacts")).as("contacts_json"),
+          to_json(col("bookings")).as("bookings_json"))
+        .orderBy("customer_id")
+    }),
+
     // F16: humanized dates/ages (humanize.naturaldate/naturaldelta,
     // booking.py:278 + pet.py:97-101) over orders with a frozen today
     // inside the data range — exercises today/tomorrow/yesterday, the
@@ -2206,6 +2226,73 @@ object SparkEntry {
          SELECT b.customer_id, b.name, b.invoiced_unpaid, b.unpaid_count,
            b.overdue_count, coalesce(u.n, 0) AS uninvoiced_count
          FROM bal b LEFT JOIN uninv u ON u.customer_id = b.customer_id""",
+
+    // §3.1 nested customer document re-derived: per-relation
+    // list(struct_pack(...) ORDER BY id) rendered to JSON — byte-equal to
+    // Spark's to_json(array<struct>) on null-free fields. Same VALUES
+    // fixture rows as CrmFixtures (pet 3 / booking 21 belong to customer
+    // 999 and vanish via the join; customer 4 has no children and gets
+    // '[]' everywhere).
+    "q_customer_nested" ->
+      """WITH cust(id, name, invoice_email) AS (VALUES
+           (1, 'Bob Smith', 'bob@x.com'), (2, 'Eve Jones&Co', ''),
+           (3, 'WRONG NAME', 'al@x.com'), (4, 'Cy Dale', 'cy@x.com')),
+         pets(id, name, customer_id, sex, neutered) AS (VALUES
+           (1, 'Rex', 1, 'male', 'yes'), (2, 'Fi', 2, 'female', 'no'),
+           (3, 'Gus', 999, 'male', 'yes'), (4, 'Hex', 1, 'other', 'yes'),
+           (5, 'P5', 1, 'male', 'yes'), (6, 'P6', 1, 'female', 'yes'),
+           (7, 'P7', 1, 'male', 'implant'), (8, 'P8', 1, 'female', 'yes'),
+           (9, 'P9', 1, 'male', 'yes'), (10, 'P10', 3, 'female', 'yes')),
+         con(id, name, details, customer_id) AS (VALUES
+           (1, 'Home', '01234 567890', 1), (2, 'Home', '07123 456789', 1),
+           (3, 'Home', '01234 111222', 2), (4, 'Mail', 'eve@x.com', 2)),
+         bk(id, customer_id, s, e, state) AS (VALUES
+           (1, 1, TIMESTAMP '2017-05-20 10:00:00', TIMESTAMP '2017-05-20 11:00:00', 'confirmed'),
+           (2, 1, TIMESTAMP '2017-05-20 09:00:00', TIMESTAMP '2017-05-20 09:30:00', 'confirmed'),
+           (3, 2, TIMESTAMP '2017-05-20 10:00:00', TIMESTAMP '2017-05-20 11:00:00', 'canceled'),
+           (4, 2, TIMESTAMP '2017-05-20 09:00:00', TIMESTAMP '2017-05-20 09:30:00', 'canceled'),
+           (5, 1, TIMESTAMP '2017-05-20 23:00:00', TIMESTAMP '2017-05-20 22:00:00', 'confirmed'),
+           (6, 1, TIMESTAMP '2017-05-19 10:00:00', TIMESTAMP '2017-05-19 11:00:00', 'bogus'),
+           (7, 1, TIMESTAMP '2017-05-20 14:00:00', TIMESTAMP '2017-05-20 15:00:00', 'confirmed'),
+           (12, 1, TIMESTAMP '2017-05-20 16:00:00', TIMESTAMP '2017-05-20 17:00:00', 'confirmed'),
+           (13, 2, TIMESTAMP '2017-05-20 16:00:00', TIMESTAMP '2017-05-20 17:00:00', 'confirmed'),
+           (14, 3, TIMESTAMP '2017-05-20 16:00:00', TIMESTAMP '2017-05-20 17:00:00', 'confirmed'),
+           (15, 1, TIMESTAMP '2017-05-20 18:00:00', TIMESTAMP '2017-05-20 19:00:00', 'confirmed'),
+           (16, 2, TIMESTAMP '2017-05-20 18:00:00', TIMESTAMP '2017-05-20 19:00:00', 'confirmed'),
+           (17, 1, TIMESTAMP '2017-05-20 20:00:00', TIMESTAMP '2017-05-20 20:30:00', 'confirmed'),
+           (18, 2, TIMESTAMP '2017-05-20 20:15:00', TIMESTAMP '2017-05-20 20:45:00', 'confirmed'),
+           (19, 1, TIMESTAMP '2017-05-20 22:00:00', TIMESTAMP '2017-05-20 23:00:00', 'confirmed'),
+           (20, 3, TIMESTAMP '2017-05-22 10:00:00', TIMESTAMP '2017-05-22 11:00:00', 'completed'),
+           (21, 999, TIMESTAMP '2017-05-19 10:00:00', TIMESTAMP '2017-05-19 11:00:00', 'confirmed'),
+           (22, 1, TIMESTAMP '2017-05-19 12:00:00', TIMESTAMP '2017-05-19 13:00:00', 'confirmed')),
+         pa AS (
+           SELECT customer_id, to_json(list(struct_pack(
+               pet_id := id, name := name, sex := sex, neutered := neutered)
+             ORDER BY id)) AS pets_json
+           FROM pets GROUP BY 1),
+         ca AS (
+           SELECT customer_id, to_json(list(struct_pack(
+               contact_id := id, name := name, details := details)
+             ORDER BY id)) AS contacts_json
+           FROM con GROUP BY 1),
+         ba AS (
+           SELECT customer_id, to_json(list(struct_pack(
+               booking_id := id,
+               start := strftime(s, '%Y-%m-%d %H:%M:%S'),
+               "end" := strftime(e, '%Y-%m-%d %H:%M:%S'),
+               state := state)
+             ORDER BY id)) AS bookings_json
+           FROM bk GROUP BY 1)
+         SELECT c.id AS customer_id, c.name, c.invoice_email,
+           coalesce(pa.pets_json, '[]') AS pets_json,
+           coalesce(ca.contacts_json, '[]') AS contacts_json,
+           coalesce(ba.bookings_json, '[]') AS bookings_json
+         FROM cust c
+         LEFT JOIN pa ON pa.customer_id = c.id
+         LEFT JOIN ca ON ca.customer_id = c.id
+         LEFT JOIN ba ON ba.customer_id = c.id
+         ORDER BY customer_id""",
+
     // F16 humanized dates — the humanize branch tree re-expressed as CASE
     "q_natural_dates" ->
       """WITH d AS (

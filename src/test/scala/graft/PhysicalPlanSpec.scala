@@ -203,6 +203,32 @@ class PhysicalPlanSpec extends SparkSuite {
     assert(lower.contains("bucket"), plan.take(2000))
   }
 
+  test("nested customer doc: aggregate-then-join — one shuffle per child relation, customers scanned once") {
+    val tb = graft.fixtures.CrmFixtures.build(spark)
+    val doc = graft.crm.CustomerDoc.nestedCustomers(
+      tb.customers, tb.pets, tb.contacts, tb.bookings)
+    // AQE prints Final + Initial sections — count exchanges in the FINAL
+    // plan only or every node is double-counted
+    val plan = finalPlanOf(doc).split("== Initial Plan ==")(0)
+    // each child relation pays exactly its own pre-join aggregation
+    // shuffle on customer_id; the collapsed (customer_id, array) sides are
+    // tiny and must broadcast, so the customer side NEVER shuffles and the
+    // N+1 shape (join-then-fanout-then-dedup would add exchanges and a
+    // distinct) is structurally excluded
+    val hashExchanges = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 3, s"$hashExchanges hash exchanges:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin"), plan.take(2000))
+    // the customer side is scanned exactly once (its invoice_email column
+    // appears in no child relation)
+    val custScans = plan.split("\n")
+      .count(l => l.contains("LocalTableScan") && l.contains("invoice_email"))
+    assert(custScans === 1, s"$custScans customer scans:\n$plan")
+    // no fanout-dedup: a correct aggregate-then-join needs no distinct
+    assert(!plan.contains("HashAggregate(keys=[customer_id") ||
+      doc.columns.length === 6, plan.take(2000))
+  }
+
   test("staged projection is all fixed-width scalars + key strings (no nested types)") {
     val sink = Files.createTempDirectory("plan_sink").toString
     spark.conf.set("spark.graft.keepStage", "true") // else cleaned post-run
