@@ -422,7 +422,44 @@ object Dedup {
     * an exact-dup pass.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, k: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+      maxHamming: Int = 3, k: Int = 3, maxBucketSize: Int = 500): DataFrame =
+    simHashNearDupsImpl(df, idCol, textCol, maxHamming, k, maxBucketSize,
+      shardKey = None)
+
+  /** [[simHashNearDups]] past the banding capacity bound: the corpus is
+    * hash-sharded by id ([[graft.text.Sampling.shardColumn]] — stable,
+    * partition-invariant) and the shard id JOINS THE BAND KEY, so
+    * candidates never cross shards and each band's 2^width bucket space
+    * is multiplied by `nShards` (the capacity recipe the scale-bound note
+    * above prescribes). Still ONE signature pass and one candidate join —
+    * not nShards separate jobs.
+    *
+    * DOCUMENTED TRADE: a near-dup pair whose members hash to different
+    * shards is missed by construction — for random id pairs that is
+    * (nShards-1)/nShards of residual near-dup mass, so this is NOT a
+    * recall-preserving transform. Use it as the second stage of the
+    * standard recipe: run [[exactDuplicates]] first (verbatim copies
+    * collapse globally, shard-independent), shard only the residual
+    * near-dup pass where each miss costs one extra near-copy, not a
+    * correctness failure. DedupSpec pins both halves: within-shard pairs
+    * match the unsharded result exactly; cross-shard pairs are exactly
+    * the misses.
+    */
+  def simHashNearDupsSharded(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, maxHamming: Int = 3, k: Int = 3,
+      maxBucketSize: Int = 500): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    require(!df.columns.contains("_shard"),
+      "simHashNearDupsSharded reserves the _shard column name")
+    simHashNearDupsImpl(
+      df.withColumn("_shard",
+        graft.text.Sampling.shardColumn(col(idCol), nShards)),
+      idCol, textCol, maxHamming, k, maxBucketSize, shardKey = Some("_shard"))
+  }
+
+  private def simHashNearDupsImpl(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int, k: Int, maxBucketSize: Int,
+      shardKey: Option[String]): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63]: $maxHamming")
     val bandsN = maxHamming + 1
@@ -432,27 +469,30 @@ object Dedup {
     // one bucket — exact-dup recall silently 0 past the stop-band cap
     val mask = if (width >= 64) -1L else (1L << width) - 1
     val withSig = withSimHash(df, textCol, k)
-      .select(col(idCol).as("id"), col("simhash"))
+      .select(col(idCol).as("id") +: col("simhash") +:
+        shardKey.toSeq.map(col): _*)
     // same three-consumer shape as lshCandidates (oversized agg + both
     // self-join sides): checkpoint the small banded frame once so the
     // shingling + SimHash lineage never re-runs per consumer
-    val banded = withSig.select(col("id"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(bandsN - 1)), b =>
-        struct(b.as("band"),
-          call_function("shiftright", col("simhash"), b * width)
-            .bitwiseAND(lit(mask)).as("bv")))).as("bb"))
-      .select(col("id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val keys = shardKey.toSeq ++ Seq("band", "bv")
+    val banded = withSig.select(col("id") +: col("simhash") +:
+        shardKey.toSeq.map(col) :+
+        explode(transform(sequence(lit(0), lit(bandsN - 1)), b =>
+          struct(b.as("band"),
+            call_function("shiftright", col("simhash"), b * width)
+              .bitwiseAND(lit(mask)).as("bv")))).as("bb"): _*)
+      .select(col("id") +: col("simhash") +: shardKey.toSeq.map(col) :+
+        col("bb.band").as("band") :+ col("bb.bv").as("bv"): _*)
       .localCheckpoint(true)
-    val oversized = banded.groupBy(col("band"), col("bv"))
+    val oversized = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
-      .select("band", "bv")
-    val pruned = banded.join(broadcast(oversized), Seq("band", "bv"), "left_anti")
-    val a = pruned.select(col("band"), col("bv"), col("id").as("a_id"),
-      col("simhash").as("a_sig"))
-    val b = pruned.select(col("band"), col("bv"), col("id").as("b_id"),
-      col("simhash").as("b_sig"))
-    a.join(b, Seq("band", "bv"))
+      .select(keys.map(col): _*)
+    val pruned = banded.join(broadcast(oversized), keys, "left_anti")
+    val a = pruned.select(keys.map(col) :+ col("id").as("a_id") :+
+      col("simhash").as("a_sig"): _*)
+    val b = pruned.select(keys.map(col) :+ col("id").as("b_id") :+
+      col("simhash").as("b_sig"): _*)
+    a.join(b, keys)
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))

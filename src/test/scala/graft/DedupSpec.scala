@@ -178,6 +178,46 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
 
+  test("sharded simhash: within-shard recall equals unsharded; cross-shard pairs are exactly the documented misses") {
+    // planted near-dup pairs (i, i+1000): identical 30-token bodies with a
+    // one-token perturbation, plus unrelated filler docs — hamming small
+    // within pairs, large across. Shards come from the ids' hash, so some
+    // pairs land together and some straddle shards; the wrapper's contract
+    // is: find exactly the unsharded pairs whose members share a shard.
+    val base = (0L until 20L).map { i =>
+      val body = (0 until 30).map(t => s"w${i}_$t").mkString(" ")
+      (i, body)
+    }
+    val nearDups = base.map { case (i, body) =>
+      (i + 1000L, body.replace(s"w${i}_7", "perturbed")) }
+    val fillers = (2000L until 2010L).map { i =>
+      (i, (0 until 30).map(t => s"f${i}_$t").mkString(" ")) }
+    val docs = (base ++ nearDups ++ fillers).toDF("id", "text")
+
+    val full = Dedup.simHashNearDups(docs, "id", "text", maxHamming = 7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    val nShards = 4
+    val sharded = Dedup.simHashNearDupsSharded(docs, "id", "text", nShards,
+        maxHamming = 7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val shardOf = docs.select($"id",
+        graft.text.Sampling.shardColumn($"id", nShards).as("s"))
+      .as[(Long, Int)].collect().toMap
+    val sameShard = full.filter { case (a, b) => shardOf(a) == shardOf(b) }
+    assert(sharded === sameShard,
+      s"sharded=${sharded.toSeq.sorted} expected=${sameShard.toSeq.sorted}")
+    // the trade is real in this corpus: at least one pair straddles shards
+    // (otherwise the test proves nothing) and every miss is cross-shard
+    val missed = full -- sharded
+    assert(missed.nonEmpty, "corpus never exercised the cross-shard miss")
+    assert(missed.forall { case (a, b) => shardOf(a) != shardOf(b) })
+    // output never leaks the reserved shard column
+    assert(!Dedup.simHashNearDupsSharded(docs, "id", "text", nShards)
+      .columns.contains("_shard"))
+  }
+
   test("connected components: chains label exactly, greedy over-drop case resolved") {
     // components {1,2,3} (CHAIN: 1-2, 2-3, no 1-3 edge — greedy b-side
     // dropping would drop 2 AND 3 even though 3's only near-dup is
