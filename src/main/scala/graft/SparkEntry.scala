@@ -301,6 +301,27 @@ object SparkEntry {
         .groupBy(col("cls")).agg(count(lit(1)).as("n"))
     }),
 
+    // Row-level exact dedup through the Dedup API itself (the groupBy +
+    // join-back form — ADVICE r5's skew fix): planted canonical-duplicate
+    // groups (case + whitespace variants collapse under the lowercase/
+    // \s+-collapse fingerprint) over doc-unique filler; per-row n /
+    // keep_id / survivor flag all re-derived in SQL over the LITERAL
+    // canonical strings (the engine groups 64-bit hashes — q_repeated_
+    // spans' collision contract).
+    "q_dedup_rows" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          when(col("doc_id") % 20 === 0,
+            concat(lit("Shared  Body "), expr("doc_id div 100").cast("string")))
+            .otherwise(concat(lit("shared body "),
+              expr("doc_id div 100").cast("string"))))
+          .otherwise(concat(col("text"), lit(" #"),
+            col("doc_id").cast("string"))).as("text"))
+      graft.dedup.Dedup.exactDuplicateRows(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n"), col("keep_id"), col("keep"))
+        .stableSorted("doc_id")
+    }),
+
     // exact dedup key: duplicate 30-char text prefixes (R5 over documents)
     "q_dedup_exact_prefix" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1900,6 +1921,26 @@ object SparkEntry {
     "q_dedup_exact_prefix" ->
       """SELECT substring(text, 1, 30) AS prefix, count(*) AS n
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    // Row-level exact dedup re-derived over the LITERAL canonical strings
+    // (lowercase + \s+ collapse + trim — the fingerprint's exact
+    // canonicalization); the filler suffix ' #doc_id' keeps every
+    // non-planted doc group-free, so both engines agree on the group set
+    // without needing whitespace-class parity over corpus text
+    "q_dedup_rows" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN
+               CASE WHEN doc_id % 20 = 0 THEN 'Shared  Body ' || (doc_id // 100)
+                    ELSE 'shared body ' || (doc_id // 100) END
+             ELSE text || ' #' || doc_id END AS t
+           FROM documents),
+         c AS (SELECT doc_id,
+             regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS ct
+           FROM d),
+         g AS (SELECT ct, count(*) AS n, min(doc_id) AS keep_id
+           FROM c GROUP BY ct HAVING count(*) > 1)
+         SELECT c.doc_id, g.n, g.keep_id, c.doc_id = g.keep_id AS keep
+         FROM c JOIN g USING (ct) ORDER BY doc_id""",
     "q_embedding_stats" ->
       """SELECT label, count(*) AS n,
          min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1,
