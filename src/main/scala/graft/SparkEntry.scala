@@ -1181,6 +1181,61 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // Watermarked windowed violation counts (the streaming verdict feed)
+    // as a graded row: the events table streams through 3 contiguous
+    // time-slice micro-batches + one far-future flush event (its window
+    // is violation-free and emits nothing, but its event time pushes the
+    // watermark past every real window), so the emitted set is exactly
+    // "every 10-minute window with >= 1 violation" — no watermark
+    // boundary cases left to engine interpretation — and counts are
+    // re-derived arithmetically in SQL. Late-drop semantics stay
+    // exercised structurally (contiguous slices mean nothing is late;
+    // StreamingSpec owns the drop case).
+    "q_stream_windowed" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      // cast up front: the parquet column reads as TIMESTAMP_NTZ, whose
+      // collected form (LocalDateTime) neither getTimestamp nor the
+      // MemoryStream tuple encoder accepts; session tz is UTC so the cast
+      // is instant-preserving
+      val ev = t(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (tmin, tmax) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val (c1, c2) = (tmin + (tmax - tmin) / 3, tmin + 2 * (tmax - tmin) / 3)
+      def slice(lo: Long, hi: Long): Seq[(java.sql.Timestamp, String)] =
+        ev.where(col("ts").cast("long") * 1000 >= lo &&
+            col("ts").cast("long") * 1000 < hi)
+          .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSeq
+      // second-resolution slicing below keeps boundary rows in exactly one
+      // slice; the final +1 ms covers tmax itself
+      val batches = Seq(slice(0L, c1), slice(c1, c2), slice(c2, tmax + 1000),
+        Seq((new java.sql.Timestamp(tmax + 3600L * 1000), "click")))
+      val rules: Seq[graft.rules.ValidationRule] = Seq(graft.rules.Allowed(
+        "valid_type", "event_type", Seq("click", "view", "purchase", "signup")))
+      val stream = MemoryStream[(java.sql.Timestamp, String)]
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_windowed").toString
+      val prevW = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingValidation.windowedViolationCounts(
+            stream.toDF().toDF("ts", "event_type"), rules, "ts",
+            windowLength = "10 minutes", lateness = "5 minutes")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append").start()
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevW)
+      s.read.parquet(s"$tmp/out")
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("rule_id"), col("violations"))
+        .stableSorted("w_start", "rule_id")
+    }),
+
     // Deterministic sampling / stratification / sharding / shuffle over
     // the documents corpus — membership, stratum fate, shard id and global
     // order all decided ONLY by xxhash64(doc_id, 42), so every number here
@@ -2934,6 +2989,23 @@ object SparkEntry {
            'illegal transition ' || src || ' -> ' || dst, ts
          FROM fl WHERE src = dst OR (src = 'signup' AND dst = 'purchase')
          ORDER BY key, ts, rule_id""",
+
+    // Watermarked windowed counts re-derived: the flush event pushes the
+    // final watermark past every real window, so emitted == every
+    // 10-minute epoch-aligned window holding >= 1 disallowed event type
+    // ('error' is the only one in the table); the flush window itself is
+    // violation-free and emits nothing
+    "q_stream_windowed" ->
+      """SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+             AS w_start,
+           make_timestamp((epoch_us(ts) // 600000000) * 600000000 + 600000000)
+             AS w_end,
+           'valid_type' AS rule_id,
+           count(*) AS violations
+         FROM events
+         WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+         GROUP BY 1, 2
+         ORDER BY w_start""",
 
     // Streaming dedup survivors re-derived arithmetically: batch 0 rows
     // all survive (doc-unique texts), later batches survive only if
