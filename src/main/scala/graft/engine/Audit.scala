@@ -40,8 +40,19 @@ final class AuditLog(dir: String, spark: SparkSession) {
       .toDF("run_id", "started").write.mode(SaveMode.Append).parquet(runsDir)
   }
 
+  /** Every read of the verdicts dir MERGES footers: the audit schema has
+    * grown over time (content_fp), appends are per-run files, and plain
+    * schema inference samples ONE footer — a mixed pre/post-upgrade dir
+    * would then expose (or hide) content_fp nondeterministically by file
+    * listing order, and a supersede rewrite under the sampled schema
+    * could permanently strip the newer columns. The dir is tiny
+    * (per-(part, rule) rows), so the merge cost is nil.
+    */
+  private def readVerdicts(): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(verdictsDir)
+
   def verdicts(): DataFrame =
-    if (exists(verdictsDir)) spark.read.parquet(verdictsDir)
+    if (exists(verdictsDir)) readVerdicts()
     else spark.emptyDataFrame
 
   /** Data partitions that already have verdict rows — the resume watermark.
@@ -50,7 +61,7 @@ final class AuditLog(dir: String, spark: SparkSession) {
     */
   def validatedParts(): Set[String] =
     if (!exists(verdictsDir)) Set.empty
-    else spark.read.parquet(verdictsDir).select("part").distinct()
+    else readVerdicts().select("part").distinct()
       .collect().map(_.getString(0)).toSet - ValidationEngine.GlobalPart
 
   /** The `checked` row count and content fingerprint each data partition
@@ -64,7 +75,7 @@ final class AuditLog(dir: String, spark: SparkSession) {
   def latestCheckedByPart(): Map[String, (Long, Option[String])] =
     if (!exists(verdictsDir)) Map.empty
     else {
-      val v = spark.read.parquet(verdictsDir)
+      val v = readVerdicts()
       val withFp =
         if (v.columns.contains("content_fp")) v
         else v.withColumn("content_fp", lit(null).cast("string"))
@@ -101,7 +112,7 @@ final class AuditLog(dir: String, spark: SparkSession) {
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val fs = live.getFileSystem(conf)
       if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
-      spark.read.parquet(verdictsDir)
+      readVerdicts()
         .where(!col("part").isin(parts.toSeq: _*))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       fs.delete(live, true)

@@ -44,16 +44,25 @@ object JsonlFiles {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not declare the reserved corrupt column '$CorruptCol'")
     val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
+    // skip blank/whitespace-only lines up front (DataFrameReader.json
+    // parity, and the jsonlines convention of tolerating blank
+    // separators): from_json maps empty input to a NULL struct rather
+    // than a corrupt record, which would otherwise surface each blank
+    // line as an all-null GOOD row
     val parsed = spark.read.text(path)
-      .select(from_json(col("value"), withCorrupt, Map(
+      .where(trim(col("value")) =!= "")
+      .select(col("value"), from_json(col("value"), withCorrupt, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> CorruptCol)).as("p"))
-      .select((col(s"p.$CorruptCol").as(CorruptCol) +:
-        schema.fieldNames.toSeq.map(f => col(s"p.$f"))): _*)
-    val good = parsed.where(col(CorruptCol).isNull)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    val bad = parsed.where(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw_line"))
+    // a NULL parsed struct (the JSON literal `null` on its own line —
+    // from_json returns null rather than a corrupt record for it) is not
+    // a document either: quarantine it with the raw line
+    val good = parsed
+      .where(col("p").isNotNull && col(s"p.$CorruptCol").isNull)
+      .select(schema.fieldNames.toSeq.map(f => col(s"p.$f").as(f)): _*)
+    val bad = parsed
+      .where(col("p").isNull || col(s"p.$CorruptCol").isNotNull)
+      .select(coalesce(col(s"p.$CorruptCol"), col("value")).as("raw_line"))
     JsonlIngest(good, bad, () => ())
   }
 }

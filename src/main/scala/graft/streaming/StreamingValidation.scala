@@ -37,28 +37,37 @@ object StreamingValidation {
         val effective =
           if (withinBatchUnique) rules
           else rules.filterNot(_.isInstanceOf[graft.rules.Unique])
-        // The sink is OWNED BY ONE CHECKPOINT LINEAGE: batch ids are
-        // assigned monotonically per checkpoint, so a correct run (or a
-        // retry of batch N) can only ever see batch_id dirs <= N already
-        // in the sink. A dir > N means a FRESH checkpoint was pointed at a
-        // sink populated by an earlier lineage — per-batch overwrite would
-        // then silently clobber that run's output dir by dir as the new
-        // batch ids climb. Detect it and fail loudly before writing; the
-        // caller either resumes from the original checkpoint or supplies
-        // an empty sink.
+        // The sink is OWNED BY ONE CHECKPOINT LINEAGE: a `_sink_lineage`
+        // marker records the owning checkpoint location. A fresh
+        // checkpoint pointed at a populated sink would otherwise restart
+        // batch ids at 0 and silently overwrite the earlier run's output
+        // dir by dir (batch-id comparison alone misses the case where the
+        // previous lineage never got past the current batch id). Marker
+        // mismatch fails loudly BEFORE anything is written; writing the
+        // marker is idempotent, so retries of any batch pass. Limit: a
+        // new lineage created at the SAME checkpoint path as a wiped old
+        // one is indistinguishable by design — the checkpoint path IS the
+        // lineage identity here.
         val sinkPath = new org.apache.hadoop.fs.Path(violationsSink)
         val fs = sinkPath.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (fs.exists(sinkPath)) {
-          val foreign = fs.listStatus(sinkPath).map(_.getPath.getName)
-            .collect { case n if n.startsWith("batch_id=") =>
-              n.stripPrefix("batch_id=").toLong }
-            .filter(_ > batchId)
-          require(foreign.isEmpty,
-            s"violations sink $violationsSink already holds batch dirs " +
-              s"${foreign.sorted.mkString(",")} beyond this lineage's batch " +
-              s"$batchId — it belongs to another checkpoint lineage; refusing " +
+        val marker = new org.apache.hadoop.fs.Path(sinkPath, "_sink_lineage")
+        if (fs.exists(marker)) {
+          val owner = {
+            val in = fs.open(marker)
+            try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          }
+          require(owner == checkpoint,
+            s"violations sink $violationsSink is owned by checkpoint lineage " +
+              s"'$owner' but this stream runs from '$checkpoint' — refusing " +
               "to clobber (resume from the original checkpoint or use a fresh sink)")
+        } else {
+          val out = fs.create(marker, true)
+          try out.write(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
         val res = ValidationEngine.run(batch, effective, dims, cfg)
         // foreachBatch is AT-LEAST-ONCE: a retry re-runs a batchId whose

@@ -59,6 +59,22 @@ class JsonlFilesSpec extends SparkSuite {
     }
   }
 
+  test("blank lines are skipped; a bare JSON null literal quarantines") {
+    // blank/whitespace separators are tolerated (DataFrameReader.json
+    // parity — NOT surfaced as all-null good rows), while `null` — which
+    // from_json maps to a NULL struct, not a corrupt record — is not a
+    // document and must quarantine with its raw line
+    val dir = stage(Seq(
+      """{"id":1,"text":"a"}""",
+      "",
+      "   ",
+      "null",
+      """{"id":2,"text":"b"}"""))
+    val ingest = JsonlFiles.read(spark, dir, schema)
+    assert(ingest.good.count() === 2L)
+    assert(ingest.quarantined.collect().map(_.getString(0)).toSeq === Seq("null"))
+  }
+
   test("type-mismatch rows quarantine rather than silently nulling") {
     val dir = stage(Seq("""{"id":"not a number","text":"x"}"""))
     val ingest = JsonlFiles.read(spark, dir, schema)

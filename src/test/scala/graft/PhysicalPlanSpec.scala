@@ -224,9 +224,12 @@ class PhysicalPlanSpec extends SparkSuite {
     val custScans = plan.split("\n")
       .count(l => l.contains("LocalTableScan") && l.contains("invoice_email"))
     assert(custScans === 1, s"$custScans customer scans:\n$plan")
-    // no fanout-dedup: a correct aggregate-then-join needs no distinct
-    assert(!plan.contains("HashAggregate(keys=[customer_id") ||
-      doc.columns.length === 6, plan.take(2000))
+    // no fanout-dedup: aggregate-then-join needs exactly one partial +
+    // one final collect_list aggregate per child relation and nothing
+    // after the joins — a join-then-fanout-then-dedup regression would
+    // add post-join aggregates/distincts and break this count
+    val aggs = plan.split("\n").count(_.contains("Aggregate(keys=["))
+    assert(aggs === 6, s"$aggs aggregate nodes (expected 3 partial + 3 final):\n$plan")
   }
 
   test("staged projection is all fixed-width scalars + key strings (no nested types)") {

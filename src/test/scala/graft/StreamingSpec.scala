@@ -98,28 +98,34 @@ class StreamingSpec extends SparkSuite {
     // The guard must refuse before writing anything.
     implicit val sqlCtx = spark.sqlContext
     val sink = Files.createTempDirectory("clobber_sink").toString + "/v"
-    // simulate an earlier lineage's output: a batch_id dir beyond batch 0
-    new java.io.File(s"$sink/batch_id=5").mkdirs()
-    val stream = MemoryStream[(Long, String, String, String)]
     val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
       partExpr = "source")
-    val writer = StreamingValidation.validateStream(
-      graft.text.QualityRules.withSignals(
-        stream.toDF().toDF("doc_id", "text", "lang", "source")),
-      graft.text.QualityRules.catalog(), Map.empty, cfg,
-      sink, Files.createTempDirectory("clobber_ckpt").toString)
-    stream.addData(Seq((1L, "some text", "en", "s0")))
-    val q = writer.start()
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+    def run(ckpt: String): Unit = {
+      val stream = MemoryStream[(Long, String, String, String)]
+      val writer = StreamingValidation.validateStream(
+        graft.text.QualityRules.withSignals(
+          stream.toDF().toDF("doc_id", "text", "lang", "source")),
+        graft.text.QualityRules.catalog(), Map.empty, cfg, sink, ckpt)
+      stream.addData(Seq((1L, "some text", "en", "s0")))
+      val q = writer.start()
       q.awaitTermination(120000)
+      q.stop()
+    }
+    // lineage A writes batch 0 (even a single-batch predecessor must be
+    // protected — the batch-id-comparison approach misses it)
+    run(Files.createTempDirectory("clobber_ckpt_a").toString)
+    val before = spark.read.parquet(s"$sink/batch_id=0").count()
+    // a FRESH lineage against the same sink must fail loudly pre-write
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Files.createTempDirectory("clobber_ckpt_b").toString)
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("another checkpoint lineage")),
+    assert(messages(e).exists(_.contains("owned by checkpoint lineage")),
       messages(e).mkString(" | "))
-    // nothing was written over the foreign dir and no batch 0 dir appeared
-    assert(!new java.io.File(s"$sink/batch_id=0").exists())
+    // lineage A's batch 0 output survives byte-for-byte (not clobbered)
+    assert(spark.read.parquet(s"$sink/batch_id=0").count() === before)
   }
 
   test("stateful FSM stream: state store catches cross-batch source mismatches") {
