@@ -1328,6 +1328,21 @@ object SparkEntry {
         .stableSorted("a_id", "b_id")
     }),
 
+    // Sharded SimHash (the capacity recipe past maxBucketSize × 2^width
+    // rows, Dedup.scala scale-bound note) as a GRADED row: candidates
+    // never cross shards, so the contract is exactly the unsharded pair
+    // set restricted to same-shard pairs — the cross-shard remainder is
+    // the documented recall trade (DedupSpec pins both halves). Oracle:
+    // the q_simhash_neardup exact-Jaccard SQL with both members required
+    // to share shard = XXH64(doc_id) mod 4, the same HUGEINT hash chain
+    // the q_sampling oracle re-derives for Sampling.shardColumn.
+    "q_simhash_sharded" -> ((s, dir) => {
+      graft.dedup.Dedup.simHashNearDupsSharded(t(s, dir, "documents"),
+        "doc_id", "text", nShards = 4, maxHamming = 7, maxBucketSize = 200)
+        .select("a_id", "b_id")
+        .stableSorted("a_id", "b_id")
+    }),
+
     // brute-force cosine top-k (ANN baseline) for 5 query vectors.
     // Scores are fold-order double arithmetic — verified bit-identical to
     // DuckDB's list_dot_product formulation, so the oracle compares raw
@@ -3396,6 +3411,50 @@ object SparkEntry {
          SELECT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+           AND len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35""",
+
+    "q_simhash_sharded" ->
+      """WITH t AS (SELECT doc_id, doc_id AS v FROM documents),
+         s1 AS (SELECT *, (CAST(v AS HUGEINT) & 18446744073709551615::HUGEINT) AS x0 FROM t),
+         s2 AS (SELECT *, (((x0 * 668265295::HUGEINT) + (((x0 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS k1 FROM s1),
+         s3 AS (SELECT *, (((k1 << 31) & 18446744073709551615::HUGEINT) | (k1 >> 33)) AS k2 FROM s2),
+         s4 AS (SELECT *, (((k2 * 2246822535::HUGEINT) + (((k2 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS k3 FROM s3),
+         s5 AS (SELECT *, xor(2870177450012600311::HUGEINT, k3) AS b0 FROM s4),
+         s6 AS (SELECT *, (((b0 << 27) & 18446744073709551615::HUGEINT) | (b0 >> 37)) AS b1 FROM s5),
+         s7 AS (SELECT *, (((((b1 * 2246822535::HUGEINT) + (((b1 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT) AS b2 FROM s6),
+         s8 AS (SELECT *, xor(b2, b2 >> 33) AS f1 FROM s7),
+         s9 AS (SELECT *, (((f1 * 668265295::HUGEINT) + (((f1 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS f2 FROM s8),
+         s10 AS (SELECT *, xor(f2, f2 >> 29) AS f3 FROM s9),
+         s11 AS (SELECT *, (((f3 * 2654435833::HUGEINT) + (((f3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS f4 FROM s10),
+         s12 AS (SELECT *, xor(f4, f4 >> 32) AS c1 FROM s11),
+         s13 AS (SELECT *, xor((c1 + 2870177450012600269::HUGEINT) & 18446744073709551615::HUGEINT, 1279370338401826588::HUGEINT) AS g1 FROM s12),
+         s14 AS (SELECT *, (((g1 << 27) & 18446744073709551615::HUGEINT) | (g1 >> 37)) AS g2 FROM s13),
+         s15 AS (SELECT *, (((((g2 * 2246822535::HUGEINT) + (((g2 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT) AS g3 FROM s14),
+         s16 AS (SELECT *, xor(g3, g3 >> 33) AS h1 FROM s15),
+         s17 AS (SELECT *, (((h1 * 668265295::HUGEINT) + (((h1 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h2 FROM s16),
+         s18 AS (SELECT *, xor(h2, h2 >> 29) AS h3 FROM s17),
+         s19 AS (SELECT *, (((h3 * 2654435833::HUGEINT) + (((h3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h4 FROM s18),
+         s20 AS (SELECT *, xor(h4, h4 >> 32) AS h5 FROM s19),
+         s21 AS (SELECT *, CAST(CASE WHEN h5 >= 9223372036854775808::HUGEINT THEN h5 - 18446744073709551616::HUGEINT ELSE h5 END AS BIGINT) AS h FROM s20),
+         shards AS MATERIALIZED (SELECT doc_id, ((h % 4) + 4) % 4 AS shard FROM s21),
+         toks AS (SELECT doc_id, list_filter(string_split_regex(
+                 trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') ws
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != ''),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         JOIN shards sa ON sa.doc_id = a.doc_id
+         JOIN shards sb ON sb.doc_id = b.doc_id
+         WHERE sa.shard = sb.shard
+           AND len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
            AND len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.35"""
   )
