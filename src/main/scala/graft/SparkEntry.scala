@@ -831,6 +831,35 @@ object SparkEntry {
         .stableSorted("id")
     }),
 
+    // Duplicated-line removal (CCNet/RefinedWeb boilerplate pass) on a
+    // planted multi-line corpus: the single-line testdata texts get a
+    // deterministic header/footer frame — a 7-string nav pool (~71 docs
+    // each), a 3-string footer pool (~167 each), a banner in exactly 4
+    // docs (one BELOW the minDocs=5 threshold → must stay) and one in
+    // exactly 5 (AT threshold → must go), a blank line (never removed),
+    // and two unique lines. The rewritten text and removal counts are
+    // re-derived line-by-line in DuckDB over the same construction.
+    "q_line_dedup" -> ((s, dir) => {
+      val pool7 = array(lit("Terms of service apply."),
+        lit("All rights reserved."), lit("Privacy policy"),
+        lit("Sign in to continue"), lit("Powered by ExampleCMS"),
+        lit("Back to top"), lit("Share this page"))
+      val pool3 = array(lit("Cookie notice"),
+        lit("Subscribe to our newsletter"), lit("Contact us"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          element_at(pool7, (pmod(col("doc_id"), lit(7)) + 1).cast("int")),
+          col("text"),
+          lit(""),
+          element_at(pool3, (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+          when(col("doc_id") < 4, lit("Rare banner line")),
+          when(col("doc_id") < 5, lit("Exactly five banner")),
+          concat(lit("doc "), col("doc_id"))).as("text"))
+      graft.dedup.Dedup.commonLineRemoval(docs, "doc_id", "text", minDocs = 5)
+        .select(col("doc_id"), col("clean_text"), col("n_removed"))
+        .stableSorted("doc_id")
+    }),
+
     // Content fingerprints, value-checked end-to-end: canonical-text
     // xxhash64 (the exact-dedup key) and the 1-hash MinHash
     // (rollingMinShingleHash). The oracle re-implements XXH64 over UTF-8
@@ -1314,6 +1343,20 @@ object SparkEntry {
       graft.dedup.Dedup.crossCorpusNearDups(docs, ev, "doc_id", "text",
         threshold = 0.35, numHashes = 64, bands = 21, maxBucketSize = 200)
         .stableSorted("t_id", "e_id")
+    }),
+
+    // N-gram eval-contamination (GPT-3 Appendix-C protocol) at the
+    // canonical n=13: train docs sharing any exact 13-token window with
+    // the eval slice (doc_id % 17 = 0, the q_decontaminate split). The
+    // oracle re-derives every window as its LITERAL token string; the
+    // engine joins 64-bit FNV hashes — same contract as q_repeated_spans.
+    "q_ngram_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.Dedup.ngramContamination(
+        docs.where(pmod(col("doc_id"), lit(17)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(17)) === 0),
+        "doc_id", "text", n = 13)
+        .stableSorted("t_id")
     }),
 
     // SimHash near-dup pairs (hamming ≤ 7 over 64-bit sketches; pigeonhole
@@ -2581,6 +2624,54 @@ object SparkEntry {
            CASE WHEN t.n_w = 0 THEN 0.0
                 ELSE coalesce(c.dup_w, 0) * 1.0 / t.n_w END AS dup_fraction
          FROM tot t LEFT JOIN cov c USING (doc_id) ORDER BY id""",
+
+    // train-side 13-token windows vs the DISTINCT eval window set,
+    // literal strings; counts are train-window OCCURRENCES (the
+    // q_repeated_spans coverage semantics)
+    "q_ngram_contamination" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
+           trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+           '[ \t\n\v\f\r]+'), t -> t != '') AS ws FROM documents),
+         wins AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(ws) - 12),
+             i -> array_to_string(list_slice(ws, i, i + 12), ' '))) AS span
+           FROM toks WHERE len(ws) >= 13),
+         ev AS (SELECT DISTINCT span FROM wins WHERE doc_id % 17 = 0),
+         hit AS (SELECT doc_id, count(*) AS c FROM wins JOIN ev USING (span)
+           WHERE doc_id % 17 != 0 GROUP BY doc_id),
+         tot AS (SELECT doc_id, CASE WHEN len(ws) >= 13 THEN len(ws) - 12 ELSE 0 END AS n_w
+           FROM toks WHERE doc_id % 17 != 0)
+         SELECT t.doc_id AS t_id, CAST(t.n_w AS BIGINT) AS n_windows,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS shared_windows,
+           coalesce(h.c, 0) > 0 AS contaminated
+         FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY t_id""",
+
+    // line-level removal re-derived literally: same planted construction
+    // (concat_ws skips the NULL CASE arms on both engines), lines =
+    // split on \n, a line is removed iff its trimmed text occurs in
+    // >= 5 distinct docs, blanks never matched, order preserved
+    "q_line_dedup" ->
+      """WITH docs AS (SELECT doc_id, concat_ws(chr(10),
+             ['Terms of service apply.','All rights reserved.','Privacy policy','Sign in to continue','Powered by ExampleCMS','Back to top','Share this page'][CAST(doc_id % 7 AS INT) + 1],
+             text, '',
+             ['Cookie notice','Subscribe to our newsletter','Contact us'][CAST(doc_id % 3 AS INT) + 1],
+             CASE WHEN doc_id < 4 THEN 'Rare banner line' END,
+             CASE WHEN doc_id < 5 THEN 'Exactly five banner' END,
+             'doc ' || doc_id) AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS ll FROM docs),
+         l AS (SELECT doc_id, ll, unnest(generate_series(1, len(ll))) AS pos FROM ls),
+         n AS (SELECT doc_id, pos, ll[pos] AS line, trim(ll[pos]) AS nrm FROM l),
+         common AS (SELECT nrm FROM (SELECT DISTINCT doc_id, nrm FROM n WHERE nrm != '')
+           GROUP BY nrm HAVING count(*) >= 5),
+         kept AS (SELECT doc_id, pos, line FROM n
+           WHERE nrm = '' OR nrm NOT IN (SELECT nrm FROM common)),
+         agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS keptn FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, chr(10))) - coalesce(a.keptn, 0) AS BIGINT) AS n_removed
+         FROM docs d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // exact string-shingle Jaccard over the same (doc_id, doc_id+3)
     // pairs; empty/null texts shingle to the EMPTY set (not [''])

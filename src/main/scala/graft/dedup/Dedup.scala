@@ -317,6 +317,47 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** N-gram eval-contamination flags (the GPT-3 Appendix-C / PaLM
+    * protocol): a training document is contaminated iff it shares at
+    * least one EXACT n-token window with any eval document. This is the
+    * membership complement of [[crossCorpusNearDups]]: doc-level MinHash
+    * misses a single eval item quoted verbatim inside an otherwise-novel
+    * train page; an exact 13-gram hit catches it regardless of the
+    * surrounding document.
+    *
+    * Output: one row per train row — (t_id, n_windows, shared_windows,
+    * contaminated). `shared_windows` counts train-side window OCCURRENCES
+    * whose token sequence appears anywhere in eval (same coverage
+    * semantics as [[repeatedSpans]]); null/short texts have 0 windows and
+    * contaminated = false. Window equality is by 64-bit FNV hash — string
+    * equality up to negligible collisions, the [[repeatedSpans]] contract.
+    *
+    * Scale shape: the eval window set is DISTINCT eval n-gram hashes —
+    * eval-sized, tiny next to train, so AQE broadcasts the semi-join
+    * build side and the pass is one linear scan of train windows; never
+    * train × eval, never train². The window pass is recomputed per
+    * consumer rather than pinned, the same trade [[repeatedSpans]]
+    * documents.
+    */
+  def ngramContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    import graft.functions.SketchExpressions.wordWindowHashes
+    def wins(c: Column) = wordWindowHashes(coalesce(c, lit("")), n)
+    val evalWins = eval
+      .select(explode(wins(col(textCol))).as("h")).distinct()
+    val sharedCounts = train
+      .select(col(idCol).as("t_id"), explode(wins(col(textCol))).as("h"))
+      .join(evalWins, Seq("h"), "left_semi")
+      .groupBy(col("t_id")).agg(count(lit(1)).as("_shared"))
+    train.select(col(idCol).as("t_id"),
+        size(wins(col(textCol))).cast("long").as("n_windows"))
+      .join(sharedCounts, Seq("t_id"), "left")
+      .select(col("t_id"), col("n_windows"),
+        coalesce(col("_shared"), lit(0L)).as("shared_windows"))
+      .withColumn("contaminated", col("shared_windows") > 0)
+  }
+
   /** Exact n-gram Jaccard over ALL pairs (quadratic — small inputs or
     * post-bucket use only; the scale path is [[minHashNearDups]]).
     */
@@ -384,6 +425,65 @@ object Dedup {
       .withColumn("dup_fraction",
         when(col("n_windows") === 0, lit(0.0))
           .otherwise(col("dup_windows").cast("double") / col("n_windows")))
+  }
+
+  /** Duplicated-LINE removal (the CCNet/RefinedWeb boilerplate pass):
+    * every line whose space-trimmed text appears in at least `minDocs`
+    * distinct documents is deleted from every document; everything else —
+    * including blank lines — is kept in original order. This is the
+    * sub-document complement of [[repeatedSpans]]: spans REPORT how much
+    * of a doc is repeated, this REWRITES the doc with the repeated
+    * navigation/footer/cookie-banner lines gone (the pass CCNet runs
+    * before perplexity filtering and RefinedWeb before MinHash — at line
+    * granularity whole-doc near-dup methods can't express).
+    *
+    * Output: one row per input row — (idCol, `outCol` rewritten text,
+    * n_removed). Null text passes through as (null, null n_removed);
+    * a doc whose every line was removed yields "".
+    *
+    * Scale shape: the only wide rows are (id, pos, line) during
+    * reassembly — everything else moves (8-byte id, 8-byte line hash).
+    * The duplicated-line set is distinct-per-doc + count per hash (linear;
+    * a footer in 10^9 docs is one counter), flagged back with one
+    * hash-equi anti-join whose build side is one row per duplicated line
+    * (AQE broadcasts it when small; a hot line key skews only the probe
+    * partition, which AQE skew-split handles). Line equality is by
+    * xxhash64 of the trimmed line — string equality up to negligible
+    * 64-bit collisions, the same contract as [[jaccardVerify]]'s hashed
+    * shingles. Reassembly is one groupBy(id) with array_sort over
+    * (pos, line) — each task buffers single documents, never groups of
+    * them.
+    */
+  def commonLineRemoval(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, outCol: String = "clean_text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    require(!df.columns.contains(outCol),
+      s"commonLineRemoval would clobber existing column '$outCol'")
+    // limit -1: trailing empty lines survive the split, so rebuilt line
+    // counts and blank-line positions match the source text exactly
+    val lines = df.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
+      .withColumn("_norm", trim(col("_line")))
+    val common = lines.where(col("_norm") =!= "")
+      .select(col("_id"), xxhash64(col("_norm")).as("_k")).distinct()
+      .groupBy(col("_k")).agg(count(lit(1)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("_k"))
+    val kept = lines.join(common,
+      xxhash64(col("_norm")) === common("_k") && col("_norm") =!= "",
+      "left_anti")
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            s => s.getField("_line"))).as(outCol),
+        count(lit(1)).as("_kept"))
+    df.join(rebuilt, col(idCol) === rebuilt("_id"), "left")
+      .select(df.columns.map(col) :+
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col(outCol), lit(""))).as(outCol) :+
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(size(split(col(textCol), "\n", -1)).cast("long") -
+            coalesce(col("_kept"), lit(0L))).as("n_removed"): _*)
   }
 
   // --- SimHash ----------------------------------------------------------

@@ -178,6 +178,59 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
 
+  test("ngram contamination: verbatim eval quote inside a novel train doc is caught; clean/short/null docs are not") {
+    val eval = Seq(
+      (100L, "what is the capital of france the answer is paris of course")
+    ).toDF("doc_id", "text")
+    val evalQuote = "the capital of france the answer" // 6-gram from eval
+    val train = Seq(
+      // novel doc quoting a 6-gram of the eval item verbatim
+      (1L, s"students often ask $evalQuote during pub quizzes everywhere"),
+      // same vocabulary, no shared 6-token window
+      (2L, "paris is of course the capital and france is the country"),
+      (3L, "too short"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(train, eval, "doc_id", "text", n = 6)
+      .select("t_id", "n_windows", "shared_windows", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._3 === true)
+    assert(out(1L)._2 >= 1L) // at least the planted window is shared
+    assert(out(2L) === ((6L, 0L, false))) // 11 tokens → 6 windows, clean
+    assert(out(3L) === ((0L, 0L, false)))
+    assert(out(4L) === ((0L, 0L, false)))
+    assert(out.size === 4) // one row per train row, clean docs included
+  }
+
+  test("common-line removal: threshold-exact deletion, blanks and order kept, null/empty/all-removed edges") {
+    // footer in 3 docs (= minDocs → removed), banner in exactly 2
+    // (< minDocs → kept), unique content kept; one doc is nothing but the
+    // footer (→ ""), one has null text, one is the empty string
+    val docs = Seq(
+      (1L, "alpha content one\nAll rights reserved.\n\nRare banner"),
+      (2L, "All rights reserved.\nbeta content two\nRare banner"),
+      (3L, "gamma content three\n  All rights reserved.  "), // trim-match
+      (4L, "All rights reserved."),
+      (5L, null.asInstanceOf[String]),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.commonLineRemoval(docs, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, java.lang.Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(out(1L) === ("alpha content one\n\nRare banner", 1L))
+    assert(out(2L) === ("beta content two\nRare banner", 1L))
+    assert(out(3L) === ("gamma content three", 1L))
+    assert(out(4L) === ("", 1L)) // every line removed
+    assert(out(5L)._1 === null && out(5L)._2 === null) // null passthrough
+    assert(out(6L) === ("", 0L)) // empty text: its one blank line is kept
+    // doc 4's whole text is the common footer: the threshold counts it
+    // (3 docs incl. doc 4 → removed everywhere); the 2-doc banner stays
+    assert(!out(1L)._1.contains("All rights reserved"))
+    assert(out(1L)._1.contains("Rare banner"))
+  }
+
   test("sharded simhash: within-shard recall equals unsharded; cross-shard pairs are exactly the documented misses") {
     // planted near-dup pairs (i, i+1000): identical 30-token bodies with a
     // one-token perturbation, plus unrelated filler docs — hamming small
