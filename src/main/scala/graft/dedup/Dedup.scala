@@ -439,7 +439,11 @@ object Dedup {
     *
     * Output: one row per input row — (idCol, `outCol` rewritten text,
     * n_removed). Null text passes through as (null, null n_removed);
-    * a doc whose every line was removed yields "".
+    * a doc whose every line was removed yields "". PRECONDITION: `idCol`
+    * is unique and non-null (the reassembly groups by it — duplicate ids
+    * would merge two documents' lines into one rewrite; run
+    * [[exactDuplicateRows]] or assign a surrogate key first, the same
+    * contract as [[graft.text.Sampling.deterministicShuffle]]).
     *
     * Scale shape: the only wide rows are (id, pos, line) during
     * reassembly — everything else moves (8-byte id, 8-byte line hash).
@@ -452,13 +456,21 @@ object Dedup {
     * 64-bit collisions, the same contract as [[jaccardVerify]]'s hashed
     * shingles. Reassembly is one groupBy(id) with array_sort over
     * (pos, line) — each task buffers single documents, never groups of
-    * them.
+    * them. The split+explode lineage feeds two consumers (common-line
+    * derivation + anti-join probe) and is deliberately RECOMPUTED rather
+    * than checkpointed: the recompute is one cheap regex split per doc,
+    * while pinning would hold a corpus-sized (id, pos, line) frame in
+    * executor storage — the [[repeatedSpans]] trade, the opposite of
+    * [[minHashNearDups]]'s, where the recomputed work is expensive
+    * signature lanes and the pinned frame is tiny.
     */
   def commonLineRemoval(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int, outCol: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    require(!df.columns.contains(outCol),
-      s"commonLineRemoval would clobber existing column '$outCol'")
+    val reserved = Seq(outCol, "n_removed", "_id", "_pos", "_line",
+      "_norm", "_k", "_nd", "_kept")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"commonLineRemoval reserves the '$c' column name"))
     // limit -1: trailing empty lines survive the split, so rebuilt line
     // counts and blank-line positions match the source text exactly
     val lines = df.select(col(idCol).as("_id"),

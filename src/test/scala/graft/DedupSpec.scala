@@ -204,31 +204,41 @@ class DedupSpec extends SparkSuite {
   }
 
   test("common-line removal: threshold-exact deletion, blanks and order kept, null/empty/all-removed edges") {
-    // footer in 3 docs (= minDocs → removed), banner in exactly 2
-    // (< minDocs → kept), unique content kept; one doc is nothing but the
-    // footer (→ ""), one has null text, one is the empty string
+    // footer in exactly 4 docs (1, 2, 3 trim-matched, 4) = minDocs →
+    // removed; banner in exactly 3 docs = minDocs - 1 → kept — BOTH sides
+    // of the threshold boundary pinned. One doc is nothing but the footer
+    // (→ ""), one has null text, one is the empty string
     val docs = Seq(
       (1L, "alpha content one\nAll rights reserved.\n\nRare banner"),
       (2L, "All rights reserved.\nbeta content two\nRare banner"),
-      (3L, "gamma content three\n  All rights reserved.  "), // trim-match
+      (3L, "gamma content three\n  All rights reserved.  \nRare banner"),
       (4L, "All rights reserved."),
       (5L, null.asInstanceOf[String]),
       (6L, "")
     ).toDF("doc_id", "text")
-    val out = Dedup.commonLineRemoval(docs, "doc_id", "text", minDocs = 3)
+    val out = Dedup.commonLineRemoval(docs, "doc_id", "text", minDocs = 4)
       .select("doc_id", "clean_text", "n_removed")
       .as[(Long, String, java.lang.Long)].collect()
       .map { case (k, v, n) => k -> ((v, n)) }.toMap
     assert(out(1L) === ("alpha content one\n\nRare banner", 1L))
     assert(out(2L) === ("beta content two\nRare banner", 1L))
-    assert(out(3L) === ("gamma content three", 1L))
+    assert(out(3L) === ("gamma content three\nRare banner", 1L))
     assert(out(4L) === ("", 1L)) // every line removed
     assert(out(5L)._1 === null && out(5L)._2 === null) // null passthrough
     assert(out(6L) === ("", 0L)) // empty text: its one blank line is kept
-    // doc 4's whole text is the common footer: the threshold counts it
-    // (3 docs incl. doc 4 → removed everywhere); the 2-doc banner stays
+    // the 4-doc footer sits AT minDocs (removed everywhere) and the 3-doc
+    // banner at minDocs - 1 (kept) — an off-by-one in the >= would flip one
     assert(!out(1L)._1.contains("All rights reserved"))
     assert(out(1L)._1.contains("Rare banner"))
+    // reserved/output names fail fast instead of ambiguous-column errors
+    intercept[IllegalArgumentException] {
+      Dedup.commonLineRemoval(docs.withColumn("n_removed", lit(1)),
+        "doc_id", "text", minDocs = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.commonLineRemoval(docs.withColumn("_norm", lit("x")),
+        "doc_id", "text", minDocs = 4)
+    }
   }
 
   test("sharded simhash: within-shard recall equals unsharded; cross-shard pairs are exactly the documented misses") {
