@@ -78,4 +78,46 @@ object Sampling {
     require(nShards > 0, s"nShards must be positive: $nShards")
     pmod(xxhash64(keyCol, lit(seed)), lit(nShards.toLong)).cast("int")
   }
+
+  /** Exact per-key top-k cap — the Gopher/FineWeb "at most k documents
+    * per host" rule: within each `keyCols` group, keep the first k rows
+    * under `order` and drop the rest. `order` MUST be a total order
+    * within every key (tie-break by a unique id) or the kept set is
+    * nondeterministic across runs — the same contract as
+    * [[deterministicShuffle]].
+    *
+    * SKEW: a plain row_number window sorts each key in ONE task — a
+    * mega-host with 10^8 rows is a straggler or an OOM. `saltOn` (a
+    * unique row expression, e.g. the id column) enables the exact
+    * two-phase form: phase 1 windows over (key, hash(salt) mod
+    * `nSalts`) — groups 1/nSalts the size — and keeps k per salted
+    * group; phase 2 re-windows the ≤ nSalts·k survivors per key. The
+    * global per-key top-k is contained in the union of per-salt top-ks,
+    * so the result is IDENTICAL to the unsalted form (SamplingSpec pins
+    * equality), for one extra shuffle of the pre-capped survivors.
+    */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+      k: Int, saltOn: Option[Column] = None, nSalts: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nSalts >= 2, s"nSalts must be >= 2: $nSalts")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(!df.columns.contains("_rn") && !df.columns.contains("_salt"),
+      "capPerKey reserves the _rn and _salt column names")
+    import org.apache.spark.sql.expressions.Window
+    def cap(d: DataFrame, parts: Seq[Column]): DataFrame = d
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(parts: _*).orderBy(order: _*)))
+      .where(col("_rn") <= k).drop("_rn")
+    val keys = keyCols.map(col)
+    saltOn match {
+      case None => cap(df, keys)
+      case Some(salt) =>
+        val phase1 = cap(
+          df.withColumn("_salt",
+            pmod(xxhash64(salt, lit(seed)), lit(nSalts.toLong))),
+          keys :+ col("_salt")).drop("_salt")
+        cap(phase1, keys)
+    }
+  }
 }

@@ -85,4 +85,27 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(got("en") / 6667.0 - 0.5) < 0.05, got.toString)
     assert(math.abs(got("de") / 6667.0 - 0.05) < 0.02, got.toString)
   }
+
+  test("capPerKey: exact top-k per key, ties broken, salted two-phase identical to unsalted on a skewed corpus") {
+    // skew: host A has 5,000 rows, B has 7, C has 2 (under the cap)
+    val rows = (0 until 5000).map(i => ("A", i.toLong, (i % 13).toLong)) ++
+      (0 until 7).map(i => ("B", (10000 + i).toLong, 5L)) ++ // all-tied
+      (0 until 2).map(i => ("C", (20000 + i).toLong, 1L))
+    val df = rows.toDF("host", "id", "score")
+    val order = Seq(col("score").desc, col("id"))
+    val plain = Sampling.capPerKey(df, Seq("host"), order, k = 5)
+      .select("host", "id").as[(String, Long)].collect().toSet
+    val salted = Sampling.capPerKey(df, Seq("host"), order, k = 5,
+      saltOn = Some(col("id")), nSalts = 8)
+      .select("host", "id").as[(String, Long)].collect().toSet
+    assert(salted === plain) // two-phase is EXACT, not approximate
+    assert(plain.count(_._1 == "A") === 5)
+    assert(plain.count(_._1 == "B") === 5) // ties broken by id: lowest 5
+    assert(plain.filter(_._1 == "B").map(_._2).toSeq.sorted ===
+      Seq(10000L, 10001L, 10002L, 10003L, 10004L))
+    assert(plain.count(_._1 == "C") === 2) // under-cap keys keep all rows
+    // host A: score desc (12 first), tie-break by ascending id
+    val aTop = plain.filter(_._1 == "A").map(_._2).toSeq.sorted
+    assert(aTop === Seq(12L, 25L, 38L, 51L, 64L)) // the five lowest-id score-12 rows
+  }
 }
