@@ -1272,19 +1272,6 @@ object SparkEntry {
     // in DuckDB SQL as a CTE chain over HUGEINT modular arithmetic
     // (64×64-bit multiply split into 32-bit halves), validated bit-exact
     // against org.apache.spark XxHash64 across the signed-long range.
-    // Per-host document cap (the Gopher/FineWeb "at most k docs per
-    // host" rule) in its SALTED two-phase configuration — the skew-proof
-    // scale path — value-graded against DuckDB's plain one-window
-    // QUALIFY: the two-phase form must be EXACTLY the top-10 per source
-    // under (n_chars desc, doc_id), or the hashes differ.
-    "q_host_cap" -> ((s, dir) => {
-      graft.text.Sampling.capPerKey(t(s, dir, "documents"),
-        Seq("source"), Seq(col("n_chars").desc, col("doc_id")), k = 10,
-        saltOn = Some(col("doc_id")), nSalts = 8)
-        .select(col("source"), col("doc_id"), col("n_chars"))
-        .stableSorted("source", "doc_id")
-    }),
-
     "q_sampling" -> ((s, dir) => {
       import graft.text.Sampling
       import org.apache.spark.sql.expressions.Window
@@ -1317,6 +1304,19 @@ object SparkEntry {
       r10.unionByName(r50).unionByName(strata).unionByName(shards)
         .unionByName(shuffled)
         .stableSorted("family", "k")
+    }),
+
+    // Per-host document cap (the Gopher/FineWeb "at most k docs per
+    // host" rule) in its SALTED two-phase configuration — the skew-proof
+    // scale path — value-graded against DuckDB's plain one-window
+    // top-10: the two-phase form must be EXACTLY the top-10 per source
+    // under (n_chars desc, doc_id), or the hashes differ.
+    "q_host_cap" -> ((s, dir) => {
+      graft.text.Sampling.capPerKey(t(s, dir, "documents"),
+        Seq("source"), Seq(col("n_chars").desc, col("doc_id")), k = 10,
+        saltOn = Some(col("doc_id")), nSalts = 8)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .stableSorted("source", "doc_id")
     }),
 
     // URL canonicalization + PII scrub over deterministically-messied
@@ -3158,15 +3158,6 @@ object SparkEntry {
     // split into 32-bit halves so products stay inside signed 128-bit.
     // hx is MATERIALIZED: five consumers would otherwise re-inline the
     // 21-step chain and blow up DuckDB's optimizer.
-    "q_host_cap" ->
-      """SELECT source, doc_id, n_chars
-         FROM (SELECT source, doc_id, n_chars,
-                 row_number() OVER (PARTITION BY source
-                   ORDER BY n_chars DESC, doc_id) AS rn
-               FROM documents)
-         WHERE rn <= 10
-         ORDER BY source, doc_id""",
-
     "q_sampling" ->
       """WITH t AS (SELECT doc_id, lang, doc_id AS v FROM documents),
          s1 AS (SELECT *, (CAST(v AS HUGEINT) & 18446744073709551615::HUGEINT) AS x0 FROM t),
@@ -3216,6 +3207,15 @@ object SparkEntry {
                FROM hx)
          WHERE rk <= 20
          ORDER BY 1, 2""",
+
+    "q_host_cap" ->
+      """SELECT source, doc_id, n_chars
+         FROM (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn
+               FROM documents)
+         WHERE rn <= 10
+         ORDER BY source, doc_id""",
 
     "q_url_canon" ->
       """WITH m AS (

@@ -114,8 +114,7 @@ object Sampling {
       case None => cap(df, keys)
       case Some(salt) =>
         val phase1 = cap(
-          df.withColumn("_salt",
-            pmod(xxhash64(salt, lit(seed)), lit(nSalts.toLong))),
+          df.withColumn("_salt", shardColumn(salt, nSalts, seed)),
           keys :+ col("_salt")).drop("_salt")
         cap(phase1, keys)
     }
