@@ -239,6 +239,11 @@ class DedupSpec extends SparkSuite {
       Dedup.commonLineRemoval(docs.withColumn("_norm", lit("x")),
         "doc_id", "text", minDocs = 4)
     }
+    // partitioning-invariant: the rewrite depends only on line content
+    val repart = Dedup.commonLineRemoval(docs.repartition(7), "doc_id",
+        "text", minDocs = 4)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(repart === out.map { case (k, v) => k -> v._1 })
   }
 
   test("sharded simhash: within-shard recall equals unsharded; cross-shard pairs are exactly the documented misses") {

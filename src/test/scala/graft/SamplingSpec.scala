@@ -107,5 +107,11 @@ class SamplingSpec extends SparkSuite {
     // host A: score desc (12 first), tie-break by ascending id
     val aTop = plain.filter(_._1 == "A").map(_._2).toSeq.sorted
     assert(aTop === Seq(12L, 25L, 38L, 51L, 64L)) // the five lowest-id score-12 rows
+    // partitioning-invariant: the kept set is a pure function of the
+    // total order, on both the plain and salted paths
+    val saltedRepart = Sampling.capPerKey(df.repartition(11), Seq("host"),
+      order, k = 5, saltOn = Some(col("id")), nSalts = 8)
+      .select("host", "id").as[(String, Long)].collect().toSet
+    assert(saltedRepart === plain)
   }
 }
