@@ -831,6 +831,19 @@ object SparkEntry {
         .stableSorted("id")
     }),
 
+    // Substring-level span REMOVAL (the rewrite form of q_repeated_spans,
+    // Lee et al. 2022's keep-one-occurrence semantic): tokens covered by
+    // a cross-doc duplicated 8-token window are deleted everywhere except
+    // in the window's min-id owner doc. The oracle re-derives the rewrite
+    // token-by-token in DuckDB over literal window strings.
+    "q_span_removal" -> ((s, dir) => {
+      graft.dedup.Dedup.removeRepeatedSpans(t(s, dir, "documents")
+          .select("doc_id", "text"),
+        "doc_id", "text", k = 8, minDocs = 2)
+        .select(col("doc_id"), col("clean_text"), col("tokens_removed"))
+        .stableSorted("doc_id")
+    }),
+
     // Duplicated-line removal (CCNet/RefinedWeb boilerplate pass) on a
     // planted multi-line corpus: the single-line testdata texts get a
     // deterministic header/footer frame — a 7-string nav pool (~71 docs
@@ -2637,6 +2650,40 @@ object SparkEntry {
            CASE WHEN t.n_w = 0 THEN 0.0
                 ELSE coalesce(c.dup_w, 0) * 1.0 / t.n_w END AS dup_fraction
          FROM tot t LEFT JOIN cov c USING (doc_id) ORDER BY id""",
+
+    // the rewrite re-derived literally: duplicated 8-token spans (>= 2
+    // distinct docs), owner = min doc_id per span, covered positions =
+    // non-owner occurrences expanded to their 8 token slots, kept tokens
+    // re-joined by single spaces in position order
+    "q_span_removal" ->
+      """WITH toks0 AS (SELECT doc_id, text, list_filter(string_split_regex(
+           trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+           '[ \t\n\v\f\r]+'), t -> t != '') AS ws FROM documents),
+         w0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i1
+           FROM toks0 WHERE len(ws) >= 8),
+         wins AS (SELECT doc_id, i1 - 1 AS i0,
+             array_to_string(list_slice(ws, i1, i1 + 7), ' ') AS span FROM w0),
+         dup AS (SELECT span, min(doc_id) AS owner
+           FROM (SELECT DISTINCT doc_id, span FROM wins)
+           GROUP BY span HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT doc_id, pos FROM (
+             SELECT w.doc_id, unnest(generate_series(w.i0, w.i0 + 7)) AS pos
+             FROM wins w JOIN dup d USING (span) WHERE w.doc_id != d.owner)),
+         t1 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p1
+           FROM toks0 WHERE len(ws) > 0),
+         toksp AS (SELECT doc_id, p1 - 1 AS pos, ws[p1] AS tok FROM t1),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM toksp t
+           LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+           WHERE c.doc_id IS NULL),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS keptn FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(a.clean_text, '') END AS clean_text,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(len(d.ws) - coalesce(a.keptn, 0) AS BIGINT) END AS tokens_removed
+         FROM toks0 d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // train-side 13-token windows vs the DISTINCT eval window set,
     // literal strings; counts are train-window OCCURRENCES (the

@@ -427,6 +427,75 @@ object Dedup {
           .otherwise(col("dup_windows").cast("double") / col("n_windows")))
   }
 
+  /** Substring-level span REMOVAL — the rewrite form of [[repeatedSpans]]
+    * (Lee et al. 2022 actually delete the repeated text, they don't just
+    * gate on it): every token covered by a k-token window whose exact
+    * token sequence appears in at least `minDocs` distinct documents is
+    * deleted — EXCEPT in the window's canonical owner (the minimum id
+    * among the docs containing it), which keeps its copy. That is the
+    * paper's keep-one-occurrence semantic: the boilerplate paragraph
+    * survives once in the corpus and disappears from every other page.
+    *
+    * Output: one row per input row — (input columns, `outCol`,
+    * tokens_removed). The rebuilt text joins kept tokens with single
+    * spaces (the same whitespace normalization the window hashing
+    * applies), in original token order; null text passes through as
+    * null, docs shorter than k tokens are never rewritten (no windows —
+    * only normalized), and a fully-duplicated non-owner doc yields "".
+    *
+    * Scale shape: the window pass moves (id, 4-byte pos, 8-byte FNV
+    * hash); the duplicated-window set is distinct-per-doc + count/min
+    * per hash (linear). The one super-linear step is expanding NON-OWNER
+    * duplicated windows into their k covered positions — bounded by
+    * k × (duplicated token mass outside owners), i.e. proportional to
+    * the text the pass is about to delete, never to the corpus. Gate
+    * first on [[repeatedSpans]].dup_fraction (rewrite only docs in
+    * (0, 1): clean docs need no rewrite, full dups are dropped by
+    * near-dup dedup) to keep that expansion to the boilerplate tail.
+    * Reassembly buffers single documents, the [[commonLineRemoval]]
+    * contract; `idCol` must be unique and non-null for the same reason.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Int = 2,
+      outCol: String = "clean_text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    require(k >= 1, s"k must be >= 1: $k")
+    val reserved = Seq(outCol, "tokens_removed", "_id", "_pos", "_tok",
+      "_h", "_i", "_nd", "_owner", "_kept")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"removeRepeatedSpans reserves the '$c' column name"))
+    import graft.functions.SketchExpressions.wordWindowHashes
+    import graft.text.TextFunctions
+    val wins = df.select(col(idCol).as("_id"),
+      posexplode(wordWindowHashes(coalesce(col(textCol), lit("")), k))
+        .as(Seq("_i", "_h")))
+    val dup = wins.select(col("_id"), col("_h")).distinct()
+      .groupBy(col("_h"))
+      .agg(count(lit(1)).as("_nd"), min(col("_id")).as("_owner"))
+      .where(col("_nd") >= minDocs)
+      .select(col("_h"), col("_owner"))
+    val covered = wins.join(dup, Seq("_h"))
+      .where(col("_id") =!= col("_owner"))
+      .select(col("_id"),
+        explode(sequence(col("_i"), col("_i") + lit(k - 1))).as("_pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val rebuilt = toks.join(covered, Seq("_id", "_pos"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+            s => s.getField("_tok"))).as(outCol),
+        count(lit(1)).as("_kept"))
+    df.join(rebuilt, col(idCol) === rebuilt("_id"), "left")
+      .select(df.columns.map(col) :+
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col(outCol), lit(""))).as(outCol) :+
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(size(TextFunctions.tokens(col(textCol))).cast("long") -
+            coalesce(col("_kept"), lit(0L))).as("tokens_removed"): _*)
+  }
+
   /** Duplicated-LINE removal (the CCNet/RefinedWeb boilerplate pass):
     * every line whose space-trimmed text appears in at least `minDocs`
     * distinct documents is deleted from every document; everything else —

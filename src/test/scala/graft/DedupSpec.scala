@@ -178,6 +178,37 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
 
+  test("span removal: non-owner occurrences deleted, owner keeps its copy, clean/short/null edges normalized only") {
+    val boiler = "subscribe to our newsletter for daily updates and exclusive offers" // 10 tokens
+    val docs = Seq(
+      // owner (min id containing the span) — keeps the boilerplate
+      (1L, s"alpha unique opening words here $boiler alpha closing words"),
+      // non-owner — loses exactly the boilerplate tokens
+      (2L, s"beta starts differently today $boiler beta ends differently"),
+      // clean doc, long enough to window: untouched (modulo ws normalization)
+      (3L, "gamma writes entirely original prose with no repeated spans at all in it"),
+      (4L, "too short"), // < k tokens: no windows, never rewritten
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        k = 10, minDocs = 2)
+      .select("doc_id", "clean_text", "tokens_removed")
+      .as[(Long, String, java.lang.Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1.contains(boiler)) // owner keeps its occurrence
+    assert(out(1L)._2 === 0L)
+    assert(!out(2L)._1.contains("newsletter")) // non-owner loses the span
+    assert(out(2L)._1.startsWith("beta starts differently today"))
+    assert(out(2L)._1.endsWith("beta ends differently"))
+    // windows overlapping the boilerplate also cover its flanking tokens
+    // only if THOSE windows are duplicated — here the flanks differ, so
+    // exactly the 10 boilerplate tokens go
+    assert(out(2L)._2 === 10L)
+    assert(out(3L) === (("gamma writes entirely original prose with no repeated spans at all in it", 0L)))
+    assert(out(4L) === (("too short", 0L)))
+    assert(out(5L)._1 === null && out(5L)._2 === null)
+  }
+
   test("ngram contamination: verbatim eval quote inside a novel train doc is caught; clean/short/null docs are not") {
     val eval = Seq(
       (100L, "what is the capital of france the answer is paris of course")
