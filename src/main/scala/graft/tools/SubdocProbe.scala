@@ -59,6 +59,15 @@ object SubdocProbe {
     level("lines_x1", docs.where(col("doc_id") < 500))(lineRun)
     level("lines_x10", docs)(lineRun)
 
+    // span removal: the expansion step is proportional to deleted text
+    // (the near-dup pairs), so x10 docs with x10 dup mass should cost
+    // ~linear wall
+    def spanRun(d: DataFrame): Long =
+      Dedup.removeRepeatedSpans(d, "doc_id", "text", k = 8, minDocs = 2)
+        .agg(sum("tokens_removed")).head.getLong(0)
+    level("spanrm_x1", docs.where(col("doc_id") < 500))(spanRun)
+    level("spanrm_x10", docs)(spanRun)
+
     // eval fixed across levels (every ~170th doc), train grows 10x —
     // same split shape as DecontProbe
     val eval = docs.where(col("doc_id") % 170 === 0)
