@@ -2652,9 +2652,10 @@ object SparkEntry {
          FROM tot t LEFT JOIN cov c USING (doc_id) ORDER BY id""",
 
     // the rewrite re-derived literally: duplicated 8-token spans (>= 2
-    // distinct docs), owner = min doc_id per span, covered positions =
-    // non-owner occurrences expanded to their 8 token slots, kept tokens
-    // re-joined by single spaces in position order
+    // distinct docs), owner = min doc_id per span; removed = non-owner
+    // covered positions MINUS owner-covered positions (ownership
+    // protects); untouched docs pass through byte-identical, touched
+    // docs re-join kept tokens by single spaces in position order
     "q_span_removal" ->
       """WITH toks0 AS (SELECT doc_id, text, list_filter(string_split_regex(
            trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
@@ -2669,20 +2670,29 @@ object SparkEntry {
          cov AS (SELECT DISTINCT doc_id, pos FROM (
              SELECT w.doc_id, unnest(generate_series(w.i0, w.i0 + 7)) AS pos
              FROM wins w JOIN dup d USING (span) WHERE w.doc_id != d.owner)),
+         ownp AS (SELECT DISTINCT doc_id, pos FROM (
+             SELECT w.doc_id, unnest(generate_series(w.i0, w.i0 + 7)) AS pos
+             FROM wins w JOIN dup d USING (span) WHERE w.doc_id = d.owner)),
+         rem AS (SELECT c.doc_id, c.pos FROM cov c
+           LEFT JOIN ownp o ON o.doc_id = c.doc_id AND o.pos = c.pos
+           WHERE o.doc_id IS NULL),
+         remc AS (SELECT doc_id, count(*) AS rm FROM rem GROUP BY doc_id),
          t1 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p1
-           FROM toks0 WHERE len(ws) > 0),
+           FROM toks0 WHERE doc_id IN (SELECT doc_id FROM remc)),
          toksp AS (SELECT doc_id, p1 - 1 AS pos, ws[p1] AS tok FROM t1),
          kept AS (SELECT t.doc_id, t.pos, t.tok FROM toksp t
-           LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+           LEFT JOIN rem c ON c.doc_id = t.doc_id AND c.pos = t.pos
            WHERE c.doc_id IS NULL),
          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
              count(*) AS keptn FROM kept GROUP BY doc_id)
          SELECT d.doc_id,
+           CASE WHEN r.doc_id IS NOT NULL THEN coalesce(a.clean_text, '')
+                ELSE d.text END AS clean_text,
            CASE WHEN d.text IS NULL THEN NULL
-                ELSE coalesce(a.clean_text, '') END AS clean_text,
-           CASE WHEN d.text IS NULL THEN NULL
-                ELSE CAST(len(d.ws) - coalesce(a.keptn, 0) AS BIGINT) END AS tokens_removed
-         FROM toks0 d LEFT JOIN agg a USING (doc_id)
+                ELSE CAST(coalesce(r.rm, 0) AS BIGINT) END AS tokens_removed
+         FROM toks0 d
+         LEFT JOIN remc r USING (doc_id)
+         LEFT JOIN agg a USING (doc_id)
          ORDER BY d.doc_id""",
 
     // train-side 13-token windows vs the DISTINCT eval window set,

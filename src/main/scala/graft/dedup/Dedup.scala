@@ -427,41 +427,54 @@ object Dedup {
           .otherwise(col("dup_windows").cast("double") / col("n_windows")))
   }
 
+  /** Shared per-document reassembly for the rewrite operators: sort
+    * (_pos, _unit) within each _id and re-join by `sep`. Each task
+    * buffers single documents, never groups of them — the reason both
+    * callers demand a unique, non-null id.
+    */
+  private def reassemble(units: DataFrame, sep: String,
+      outCol: String): DataFrame =
+    units.groupBy(col("_id"))
+      .agg(concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("_pos"), col("_unit")))),
+            s => s.getField("_unit"))).as(outCol),
+        count(lit(1)).as("_kept"))
+
   /** Substring-level span REMOVAL — the rewrite form of [[repeatedSpans]]
     * (Lee et al. 2022 actually delete the repeated text, they don't just
     * gate on it): every token covered by a k-token window whose exact
     * token sequence appears in at least `minDocs` distinct documents is
     * deleted — EXCEPT in the window's canonical owner (the minimum id
-    * among the docs containing it), which keeps its copy. That is the
-    * paper's keep-one-occurrence semantic: the boilerplate paragraph
-    * survives once in the corpus and disappears from every other page.
+    * among the docs containing it), which keeps its copy. Ownership
+    * PROTECTS: a position covered by both a window this doc owns and a
+    * window owned elsewhere is KEPT, so the one surviving occurrence of
+    * every duplicated span really survives intact even when duplicated
+    * spans overlap with different owners (overlapping regions err toward
+    * keeping — the conservative side for training data).
     *
     * Output: one row per input row — (input columns, `outCol`,
-    * tokens_removed). The rebuilt text joins kept tokens with single
-    * spaces (the same whitespace normalization the window hashing
-    * applies), in original token order; null text passes through as
-    * null, docs shorter than k tokens are never rewritten (no windows —
-    * only normalized), and a fully-duplicated non-owner doc yields "".
+    * tokens_removed). Documents with nothing to remove pass through
+    * BYTE-IDENTICAL (null text included); rewritten documents re-join
+    * their kept tokens with single spaces (the whitespace normalization
+    * the window hashing itself applies) in original order, and a
+    * fully-removed doc yields "".
     *
     * Scale shape: the window pass moves (id, 4-byte pos, 8-byte FNV
     * hash); the duplicated-window set is distinct-per-doc + count/min
-    * per hash (linear). The one super-linear step is expanding NON-OWNER
-    * duplicated windows into their k covered positions — bounded by
-    * k × (duplicated token mass outside owners), i.e. proportional to
-    * the text the pass is about to delete, never to the corpus. Gate
-    * first on [[repeatedSpans]].dup_fraction (rewrite only docs in
-    * (0, 1): clean docs need no rewrite, full dups are dropped by
-    * near-dup dedup) to keep that expansion to the boilerplate tail.
-    * Reassembly buffers single documents, the [[commonLineRemoval]]
-    * contract; `idCol` must be unique and non-null for the same reason.
+    * per hash (linear). Everything past it is proportional to the
+    * DUPLICATED text, never the corpus: the position expansion is
+    * k × duplicated-window occurrences, and only documents that
+    * actually lose a token are tokenized and reassembled — clean docs
+    * never enter the rebuild shuffle. `idCol` must be unique and
+    * non-null (the [[commonLineRemoval]] contract).
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2,
       outCol: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     require(k >= 1, s"k must be >= 1: $k")
-    val reserved = Seq(outCol, "tokens_removed", "_id", "_pos", "_tok",
-      "_h", "_i", "_nd", "_owner", "_kept")
+    val reserved = Seq(outCol, "tokens_removed", "_id", "_pos", "_unit",
+      "_h", "_i", "_nd", "_owner", "_kept", "_rm")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"removeRepeatedSpans reserves the '$c' column name"))
     import graft.functions.SketchExpressions.wordWindowHashes
@@ -474,26 +487,34 @@ object Dedup {
       .agg(count(lit(1)).as("_nd"), min(col("_id")).as("_owner"))
       .where(col("_nd") >= minDocs)
       .select(col("_h"), col("_owner"))
-    val covered = wins.join(dup, Seq("_h"))
-      .where(col("_id") =!= col("_owner"))
-      .select(col("_id"),
-        explode(sequence(col("_i"), col("_i") + lit(k - 1))).as("_pos"))
+    // duplicated-window occurrences only — small; feeds both branches
+    val hits = wins.join(dup, Seq("_h"))
+    def positions(d: DataFrame) = d.select(col("_id"),
+      explode(sequence(col("_i"), col("_i") + lit(k - 1))).as("_pos"))
       .distinct()
-    val toks = df.select(col(idCol).as("_id"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_pos", "_tok")))
-    val rebuilt = toks.join(covered, Seq("_id", "_pos"), "left_anti")
-      .groupBy(col("_id"))
-      .agg(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
-            s => s.getField("_tok"))).as(outCol),
-        count(lit(1)).as("_kept"))
-    df.join(rebuilt, col(idCol) === rebuilt("_id"), "left")
+    val nonOwned = positions(hits.where(col("_id") =!= col("_owner")))
+    val owned = positions(hits.where(col("_id") === col("_owner")))
+    // ownership protection: owned coverage vetoes deletion
+    val removed = nonOwned.join(owned, Seq("_id", "_pos"), "left_anti")
+    val removedCounts = removed.groupBy(col("_id"))
+      .agg(count(lit(1)).as("_rm"))
+    // ONLY touched docs are tokenized and reassembled
+    val toks = df
+      .join(removedCounts, col(idCol) === removedCounts("_id"), "left_semi")
+      .select(col(idCol).as("_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("_pos", "_unit")))
+    val rebuilt = reassemble(
+      toks.join(removed, Seq("_id", "_pos"), "left_anti"), " ", outCol)
+    // a fully-removed doc has a removed count but no rebuilt row → ""
+    val touched = removedCounts.join(rebuilt, Seq("_id"), "left")
+      .select(col("_id"), coalesce(col(outCol), lit("")).as(outCol),
+        col("_rm"))
+    df.join(touched, col(idCol) === touched("_id"), "left")
       .select(df.columns.map(col) :+
-        when(col(textCol).isNull, lit(null).cast("string"))
-          .otherwise(coalesce(col(outCol), lit(""))).as(outCol) :+
+        coalesce(col(outCol), col(textCol)).as(outCol) :+
         when(col(textCol).isNull, lit(null).cast("long"))
-          .otherwise(size(TextFunctions.tokens(col(textCol))).cast("long") -
-            coalesce(col("_kept"), lit(0L))).as("tokens_removed"): _*)
+          .otherwise(coalesce(col("_rm"), lit(0L))).as("tokens_removed"): _*)
   }
 
   /** Duplicated-LINE removal (the CCNet/RefinedWeb boilerplate pass):
@@ -536,15 +557,15 @@ object Dedup {
   def commonLineRemoval(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int, outCol: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val reserved = Seq(outCol, "n_removed", "_id", "_pos", "_line",
+    val reserved = Seq(outCol, "n_removed", "_id", "_pos", "_unit",
       "_norm", "_k", "_nd", "_kept")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"commonLineRemoval reserves the '$c' column name"))
     // limit -1: trailing empty lines survive the split, so rebuilt line
     // counts and blank-line positions match the source text exactly
     val lines = df.select(col(idCol).as("_id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
-      .withColumn("_norm", trim(col("_line")))
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_unit")))
+      .withColumn("_norm", trim(col("_unit")))
     val common = lines.where(col("_norm") =!= "")
       .select(col("_id"), xxhash64(col("_norm")).as("_k")).distinct()
       .groupBy(col("_k")).agg(count(lit(1)).as("_nd"))
@@ -553,11 +574,7 @@ object Dedup {
     val kept = lines.join(common,
       xxhash64(col("_norm")) === common("_k") && col("_norm") =!= "",
       "left_anti")
-    val rebuilt = kept.groupBy(col("_id"))
-      .agg(concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
-            s => s.getField("_line"))).as(outCol),
-        count(lit(1)).as("_kept"))
+    val rebuilt = reassemble(kept, "\n", outCol)
     df.join(rebuilt, col(idCol) === rebuilt("_id"), "left")
       .select(df.columns.map(col) :+
         when(col(textCol).isNull, lit(null).cast("string"))

@@ -4,14 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
-/** Sub-document dedup scaling probe (dev tool) for the two round-6
-  * operators, at corpus ×1 vs ×10 on the same host:
+/** Sub-document dedup scaling probe (dev tool) for the round-6 rewrite
+  * and contamination operators, at corpus ×1 vs ×10 on the same host:
   *
   *  - [[Dedup.commonLineRemoval]]: the duplicated-line set is bounded by
   *    the number of DISTINCT repeated lines (the planted pools here), so
   *    10× the docs should cost ~linear wall — the wide work is
   *    (id, line-hash) pairs and the per-doc reassembly, never a pair
   *    explosion in the hot pool lines.
+  *  - [[Dedup.removeRepeatedSpans]]: the position expansion and the
+  *    rebuild are proportional to the DUPLICATED text — ×10 docs
+  *    carrying ×10+ the deleted token mass should cost ~linear wall,
+  *    and clean docs never enter the rebuild shuffle.
   *  - [[Dedup.ngramContamination]]: eval side FIXED while train grows
   *    10× — the eval window set (broadcast build side) is constant, so
   *    added train docs pay only their own linear window scan.

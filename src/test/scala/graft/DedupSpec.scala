@@ -178,15 +178,16 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
   }
 
-  test("span removal: non-owner occurrences deleted, owner keeps its copy, clean/short/null edges normalized only") {
+  test("span removal: non-owner occurrences deleted, owner keeps its copy, untouched docs byte-identical") {
     val boiler = "subscribe to our newsletter for daily updates and exclusive offers" // 10 tokens
     val docs = Seq(
       // owner (min id containing the span) — keeps the boilerplate
       (1L, s"alpha unique opening words here $boiler alpha closing words"),
       // non-owner — loses exactly the boilerplate tokens
       (2L, s"beta starts differently today $boiler beta ends differently"),
-      // clean doc, long enough to window: untouched (modulo ws normalization)
-      (3L, "gamma writes entirely original prose with no repeated spans at all in it"),
+      // clean doc with internal structure: must pass BYTE-IDENTICAL —
+      // untouched docs are never tokenized, reassembled, or normalized
+      (3L, "gamma writes  entirely original\nprose with no repeated spans at all in it"),
       (4L, "too short"), // < k tokens: no windows, never rewritten
       (5L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
@@ -197,6 +198,8 @@ class DedupSpec extends SparkSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out(1L)._1.contains(boiler)) // owner keeps its occurrence
     assert(out(1L)._2 === 0L)
+    // owner is untouched end to end: byte-identical, not just re-joined
+    assert(out(1L)._1 === s"alpha unique opening words here $boiler alpha closing words")
     assert(!out(2L)._1.contains("newsletter")) // non-owner loses the span
     assert(out(2L)._1.startsWith("beta starts differently today"))
     assert(out(2L)._1.endsWith("beta ends differently"))
@@ -204,9 +207,34 @@ class DedupSpec extends SparkSuite {
     // only if THOSE windows are duplicated — here the flanks differ, so
     // exactly the 10 boilerplate tokens go
     assert(out(2L)._2 === 10L)
-    assert(out(3L) === (("gamma writes entirely original prose with no repeated spans at all in it", 0L)))
+    assert(out(3L) === (("gamma writes  entirely original\nprose with no repeated spans at all in it", 0L)))
     assert(out(4L) === (("too short", 0L)))
     assert(out(5L)._1 === null && out(5L)._2 === null)
+  }
+
+  test("span removal: ownership protects overlapping duplicated spans — the kept occurrence survives intact") {
+    // span X = x0..x9 (owner doc 1); span Y = x5..x9 z0..z4 (owner doc 2);
+    // in doc 2, X (non-owned, positions 0-9) OVERLAPS Y (owned, 5-14):
+    // without protection doc 2 would lose positions 0-9 and Y would
+    // survive nowhere intact
+    val x = (0 until 10).map(i => s"x$i").mkString(" ")
+    val yTail = (0 until 5).map(i => s"z$i").mkString(" ")
+    val y = (5 until 10).map(i => s"x$i").mkString(" ") + " " + yTail
+    val docs = Seq(
+      (1L, s"pad1 pad2 $x pad3"),   // owns X, untouched
+      (2L, s"$x $yTail"),           // non-owned X overlaps owned Y
+      (3L, s"q0 q1 $y q2")          // non-owner of Y: loses it
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        k = 10, minDocs = 2)
+      .select("doc_id", "clean_text", "tokens_removed")
+      .as[(Long, String, java.lang.Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((s"pad1 pad2 $x pad3", 0L))) // owner of X intact
+    // doc 2 keeps its owned Y occurrence INTACT; only the X prefix
+    // outside Y (positions 0-4) is deleted
+    assert(out(2L) === ((y, 5L)))
+    assert(out(3L) === (("q0 q1 q2", 10L))) // non-owner of Y loses it
   }
 
   test("ngram contamination: verbatim eval quote inside a novel train doc is caught; clean/short/null docs are not") {
