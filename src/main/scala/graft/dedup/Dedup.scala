@@ -487,15 +487,17 @@ object Dedup {
       .agg(count(lit(1)).as("_nd"), min(col("_id")).as("_owner"))
       .where(col("_nd") >= minDocs)
       .select(col("_h"), col("_owner"))
-    // duplicated-window occurrences only — small; feeds both branches
-    val hits = wins.join(dup, Seq("_h"))
-    def positions(d: DataFrame) = d.select(col("_id"),
-      explode(sequence(col("_i"), col("_i") + lit(k - 1))).as("_pos"))
-      .distinct()
-    val nonOwned = positions(hits.where(col("_id") =!= col("_owner")))
-    val owned = positions(hits.where(col("_id") === col("_owner")))
-    // ownership protection: owned coverage vetoes deletion
-    val removed = nonOwned.join(owned, Seq("_id", "_pos"), "left_anti")
+    // duplicated-window occurrences only — small. ONE expansion carrying
+    // an ownership flag, then ownership protection as a per-position
+    // bool_or: a position is removed iff covered by some foreign window
+    // and by NO owned window (one explode + one shuffle, no anti-join)
+    val removed = wins.join(dup, Seq("_h"))
+      .select(col("_id"), (col("_id") === col("_owner")).as("_owned"),
+        explode(sequence(col("_i"), col("_i") + lit(k - 1))).as("_pos"))
+      .groupBy(col("_id"), col("_pos"))
+      .agg(max(col("_owned")).as("_owned"))
+      .where(!col("_owned"))
+      .select(col("_id"), col("_pos"))
     val removedCounts = removed.groupBy(col("_id"))
       .agg(count(lit(1)).as("_rm"))
     // ONLY touched docs are tokenized and reassembled
