@@ -555,10 +555,18 @@ object Dedup {
     * executor storage — the [[repeatedSpans]] trade, the opposite of
     * [[minHashNearDups]]'s, where the recomputed work is expensive
     * signature lanes and the pinned frame is tiny.
+    *
+    * `sep` selects the dedup granularity: "\n" (default) is
+    * RefinedWeb's line pass; "\n\n" is CCNet's PARAGRAPH pass (units
+    * split on the LITERAL separator, matched on their trimmed text,
+    * re-joined with the same separator). Any literal string works — it
+    * is regex-quoted before splitting.
     */
   def commonLineRemoval(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int, outCol: String = "clean_text"): DataFrame = {
+      minDocs: Int, outCol: String = "clean_text",
+      sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    require(sep.nonEmpty, "sep must be non-empty")
     val reserved = Seq(outCol, "n_removed", "_id", "_pos", "_unit",
       "_norm", "_k", "_nd", "_kept")
     reserved.foreach(c => require(!df.columns.contains(c),
@@ -566,7 +574,8 @@ object Dedup {
     // limit -1: trailing empty lines survive the split, so rebuilt line
     // counts and blank-line positions match the source text exactly
     val lines = df.select(col(idCol).as("_id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_unit")))
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("_pos", "_unit")))
       .withColumn("_norm", trim(col("_unit")))
     val common = lines.where(col("_norm") =!= "")
       .select(col("_id"), xxhash64(col("_norm")).as("_k")).distinct()
@@ -576,13 +585,14 @@ object Dedup {
     val kept = lines.join(common,
       xxhash64(col("_norm")) === common("_k") && col("_norm") =!= "",
       "left_anti")
-    val rebuilt = reassemble(kept, "\n", outCol)
+    val rebuilt = reassemble(kept, sep, outCol)
     df.join(rebuilt, col(idCol) === rebuilt("_id"), "left")
       .select(df.columns.map(col) :+
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(coalesce(col(outCol), lit(""))).as(outCol) :+
         when(col(textCol).isNull, lit(null).cast("long"))
-          .otherwise(size(split(col(textCol), "\n", -1)).cast("long") -
+          .otherwise(size(split(col(textCol),
+            java.util.regex.Pattern.quote(sep), -1)).cast("long") -
             coalesce(col("_kept"), lit(0L))).as("n_removed"): _*)
   }
 

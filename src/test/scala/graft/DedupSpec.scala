@@ -305,6 +305,30 @@ class DedupSpec extends SparkSuite {
     assert(repart === out.map { case (k, v) => k -> v._1 })
   }
 
+  test("paragraph-granularity removal: sep=\\n\\n dedups whole paragraphs, lines inside them survive") {
+    // the CCNet configuration: the repeated unit is a multi-line
+    // PARAGRAPH; its individual lines also appear solo in other docs and
+    // must NOT be removed there (granularity is the unit, not the line)
+    val para = "Follow us on social media\nAll rights reserved."
+    val docs = Seq(
+      (1L, s"intro one\n\n$para\n\nbody text one"),
+      (2L, s"$para\n\nbody text two"),
+      (3L, s"intro three\n\n$para"),
+      // contains ONE line of the paragraph as its own paragraph — kept
+      (4L, "All rights reserved.\n\nbody text four")
+    ).toDF("doc_id", "text")
+    val out = Dedup.commonLineRemoval(docs, "doc_id", "text",
+        minDocs = 3, sep = "\n\n")
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("intro one\n\nbody text one", 1L)))
+    assert(out(2L) === (("body text two", 1L)))
+    assert(out(3L) === (("intro three", 1L)))
+    // the solo line is a different unit than the 2-line paragraph
+    assert(out(4L) === (("All rights reserved.\n\nbody text four", 0L)))
+  }
+
   test("sharded simhash: within-shard recall equals unsharded; cross-shard pairs are exactly the documented misses") {
     // planted near-dup pairs (i, i+1000): identical 30-token bodies with a
     // one-token perturbation, plus unrelated filler docs — hamming small
