@@ -844,6 +844,28 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // The PARAGRAPH-granularity configuration (sep = "\n\n", CCNet's
+    // unit) of the same pass: multi-line boilerplate paragraphs dedup as
+    // whole units, incl. the exact-threshold banners; the oracle splits
+    // on the literal double-newline and matches trimmed units.
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val paraPool = array(
+        lit("Follow us on social media\nAll rights reserved."),
+        lit("Subscribe for updates\nUnsubscribe anytime"),
+        lit("About us\nCareers\nContact"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n",
+          element_at(paraPool, (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+          col("text"),
+          when(col("doc_id") < 4, lit("Rare promo\nLimited time")),
+          when(col("doc_id") < 5, lit("Five banner\nExactly five")),
+          concat(lit("unique tail "), col("doc_id"))).as("text"))
+      graft.dedup.Dedup.commonLineRemoval(docs, "doc_id", "text",
+          minDocs = 5, sep = "\n\n")
+        .select(col("doc_id"), col("clean_text"), col("n_removed"))
+        .stableSorted("doc_id")
+    }),
+
     // Duplicated-line removal (CCNet/RefinedWeb boilerplate pass) on a
     // planted multi-line corpus: the single-line testdata texts get a
     // deterministic header/footer frame — a 7-string nav pool (~71 docs
@@ -2715,6 +2737,33 @@ object SparkEntry {
            CAST(coalesce(h.c, 0) AS BIGINT) AS shared_windows,
            coalesce(h.c, 0) > 0 AS contaminated
          FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY t_id""",
+
+    // paragraph units = literal double-newline split, matched trimmed,
+    // re-joined with the same separator; thresholds as in q_line_dedup
+    "q_paragraph_dedup" ->
+      """WITH docs AS (SELECT doc_id, concat_ws(chr(10) || chr(10),
+             ['Follow us on social media' || chr(10) || 'All rights reserved.',
+              'Subscribe for updates' || chr(10) || 'Unsubscribe anytime',
+              'About us' || chr(10) || 'Careers' || chr(10) || 'Contact'][CAST(doc_id % 3 AS INT) + 1],
+             text,
+             CASE WHEN doc_id < 4 THEN 'Rare promo' || chr(10) || 'Limited time' END,
+             CASE WHEN doc_id < 5 THEN 'Five banner' || chr(10) || 'Exactly five' END,
+             'unique tail ' || doc_id) AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ll FROM docs),
+         l AS (SELECT doc_id, ll, unnest(generate_series(1, len(ll))) AS pos FROM ls),
+         n AS (SELECT doc_id, pos, ll[pos] AS unit, trim(ll[pos]) AS nrm FROM l),
+         common AS (SELECT nrm FROM (SELECT DISTINCT doc_id, nrm FROM n WHERE nrm != '')
+           GROUP BY nrm HAVING count(*) >= 5),
+         kept AS (SELECT doc_id, pos, unit FROM n
+           WHERE nrm = '' OR nrm NOT IN (SELECT nrm FROM common)),
+         agg AS (SELECT doc_id,
+             string_agg(unit, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS keptn FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, chr(10) || chr(10))) - coalesce(a.keptn, 0) AS BIGINT) AS n_removed
+         FROM docs d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // line-level removal re-derived literally: same planted construction
     // (concat_ws skips the NULL CASE arms on both engines), lines =
