@@ -337,7 +337,12 @@ object Dedup {
     * build side and the pass is one linear scan of train windows; never
     * train × eval, never train². The window pass is recomputed per
     * consumer rather than pinned, the same trade [[repeatedSpans]]
-    * documents.
+    * documents. PRECONDITIONS: train `idCol` unique and non-null (a
+    * null id's counts never join back — silent false negative;
+    * duplicate ids merge counts then fan out — the
+    * [[commonLineRemoval]] contract), and train/eval DISJOINT (an eval
+    * doc left in train shares all its own windows and reads as
+    * contaminated by construction).
     */
   def ngramContamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {

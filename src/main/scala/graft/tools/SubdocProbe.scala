@@ -72,15 +72,18 @@ object SubdocProbe {
     level("spanrm_x1", docs.where(col("doc_id") < 500))(spanRun)
     level("spanrm_x10", docs)(spanRun)
 
-    // eval fixed across levels (every ~170th doc), train grows 10x —
-    // same split shape as DecontProbe
+    // eval fixed across levels (every ~170th doc), train grows 10x.
+    // Train EXCLUDES eval (ngramContamination's disjointness
+    // precondition — an eval doc left in train shares all its own
+    // windows and counts as contaminated by construction)
     val eval = docs.where(col("doc_id") % 170 === 0)
+    val trainAll = docs.where(col("doc_id") % 170 =!= 0)
     println(s"[probe] eval docs: ${eval.count()}")
     def ngramRun(train: DataFrame): Long =
       Dedup.ngramContamination(train, eval, "doc_id", "text", n = 13)
         .where(col("contaminated")).count()
-    level("ngram_x1", docs.where(col("doc_id") < 500))(ngramRun)
-    level("ngram_x10", docs)(ngramRun)
+    level("ngram_x1", trainAll.where(col("doc_id") < 500))(ngramRun)
+    level("ngram_x10", trainAll)(ngramRun)
     spark.stop()
   }
 }
