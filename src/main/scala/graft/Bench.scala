@@ -80,14 +80,17 @@ object Bench {
         f"[bench] $name%-28s $score%8.2fs rows=$rows (best of $reps, $failures failed, capacity probe $probeBest%.3fs)")
       (name, score, probeBest)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 4-decimal rounding keeps the line ~40% shorter so the whole summary
+    // fits the driver's tail-capture window (round 6 lost its per-query
+    // record to an unrounded line); -1.0 failure sentinel survives rounding
+    def r4(v: Double): String = (math.rint(v * 10000) / 10000).toString
+    // Double.toString, not the f-interpolator: %f is default-locale
+    // sensitive and a comma-decimal locale would emit malformed JSON
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     // per-query capacity stamps travel in a SEPARATE map so the driver's
     // "queries" shape (flat name -> seconds) is unchanged
-    // Double.toString, not the f-interpolator: %f is default-locale
-    // sensitive and a comma-decimal locale would emit malformed JSON
-    val caps = results.map { case (k, _, p) =>
-      s"\"" + k + "\":" + (math.rint(p * 10000) / 10000).toString }
+    val caps = results.map { case (k, _, p) => s"\"" + k + "\":" + r4(p) }
       .mkString("{", ",", "}")
     // the -1 failure sentinel stays in the per-query map but is EXCLUDED
     // from the headline total — summed in, a crashing 50 s query would
@@ -96,7 +99,10 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"capacity_probe_sec":$caps,"sf":"$sfDir"}""")
+    // "queries" is the LAST map before "sf": the driver's tail-capture
+    // window clips from the front of long lines, and round 6 proved the
+    // per-query map is the one artifact that must survive clipping
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","failed":$nFailed,"capacity_probe_sec":$caps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

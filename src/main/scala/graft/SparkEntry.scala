@@ -1057,6 +1057,40 @@ object SparkEntry {
       report.unionByName(shards).stableSorted("ord", "stage")
     }),
 
+    // The FULL funnel — both round-7 stages enabled: canonical-url
+    // uniqueness BEFORE the text passes and the per-host cap AFTER the
+    // quality gate. Urls are planted so every doc pair (2g, 2g+1) is the
+    // same page crawled twice through different raw forms — the even doc
+    // carries an UPPERCASED host, a utm_campaign param and a fragment;
+    // the odd doc an uppercase scheme and an explicit :443 — and BOTH
+    // must canonicalize to https://h<g%20>.example.com/doc/<g> for the
+    // url_dedup stage to halve the corpus (the oracle re-derives that
+    // exact string from the construction, so a canon drift breaks the
+    // count). Host cap: ≤8 quality survivors per h<k>.example.com host,
+    // ordered by doc_id, via the SALTED exact top-k path.
+    "q_corpus_pipeline_full" -> ((s, dir) => {
+      val g = expr("doc_id div 2")
+      val hostId = pmod(g, lit(20)).cast("string")
+      val docs = t(s, dir, "documents").repartition(32)
+        .withColumn("url",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("https://H"), hostId, lit(".EXAMPLE.com/doc/"),
+              g.cast("string"), lit("?utm_campaign=c#sec")))
+          .otherwise(
+            concat(lit("HTTPS://h"), hostId, lit(".example.com:443/doc/"),
+              g.cast("string"))))
+      val (kept, report) = graft.text.CorpusPipeline.build(
+        docs, "doc_id", "text", "lang", "source",
+        canonicalizeUrlCol = Some("url"), maxDocsPerKey = Some(8))
+      val shards = kept.groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("docs"))
+        .select(lit(7).as("ord"),
+          concat(lit("shard_"), lpad(col("shard").cast("string"), 2, "0"))
+            .as("stage"),
+          col("docs"))
+      report.unionByName(shards).stableSorted("ord", "stage")
+    }),
+
     // Corpus filtering AS validation: the Gopher/C4-style quality gates
     // (length, repetition, language, quality score) expressed as the SAME
     // ValidationRule catalog the page validator runs, over the documents
@@ -1428,10 +1462,20 @@ object SparkEntry {
     // to share shard = XXH64(doc_id) mod 4, the same HUGEINT hash chain
     // the q_sampling oracle re-derives for Sampling.shardColumn.
     "q_simhash_sharded" -> ((s, dir) => {
-      graft.dedup.Dedup.simHashNearDupsSharded(t(s, dir, "documents"),
+      val (pairs, drops) = graft.dedup.Dedup.simHashNearDupsShardedWithDrops(
+        t(s, dir, "documents"),
         "doc_id", "text", nShards = 4, maxHamming = 7, maxBucketSize = 200)
-        .select("a_id", "b_id")
-        .stableSorted("a_id", "b_id")
+      // the oracle equality below is only valid while NO (band, shard)
+      // bucket overflows the cap (the engine silently drops overflowing
+      // buckets; the oracle doesn't model the cap) — assert the
+      // precondition via the drop report so a future testdata regen
+      // surfaces as a loud precondition failure, not an opaque hash
+      // mismatch (ADVICE r6)
+      val d = drops.first()
+      require(d.getAs[Long]("dropped_buckets") == 0L,
+        s"q_simhash_sharded precondition: stop-band cap engaged ($d) — " +
+          "the DuckDB oracle does not model bucket drops")
+      pairs.select("a_id", "b_id").stableSorted("a_id", "b_id")
     }),
 
     // brute-force cosine top-k (ANN baseline) for 5 query vectors.
@@ -3154,6 +3198,115 @@ object SparkEntry {
            UNION ALL SELECT 4, 'quality', count(*) FROM k3
            UNION ALL SELECT 5, 'sample', count(*) FROM k4
            UNION ALL SELECT 6,
+             'shard_' || lpad(CAST(((h % 8) + 8) % 8 AS VARCHAR), 2, '0'),
+             count(*) FROM k4 GROUP BY 2)
+         ORDER BY ord, stage""",
+
+    // the FULL funnel: url_dedup derives the canonical url DIRECTLY from
+    // the planted construction ('https://h<g%20>.example.com/doc/<g>' for
+    // g = doc_id // 2) — both raw variants the engine canonicalizes must
+    // land on exactly that string or the stage count diverges; host_cap
+    // re-derives the per-host ≤8 rule with a row_number window keyed on
+    // the same g-derived host, ordered by doc_id
+    "q_corpus_pipeline_full" ->
+      """WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source
+                FROM documents),
+         u0 AS (SELECT *, 'https://h' || CAST((doc_id // 2) % 20 AS VARCHAR)
+                  || '.example.com/doc/' || CAST(doc_id // 2 AS VARCHAR) AS curl
+                FROM d0),
+         ku AS (SELECT doc_id, text, lang, source FROM u0
+                QUALIFY doc_id = min(doc_id) OVER (PARTITION BY curl)),
+         ce AS (SELECT *, regexp_replace(lower(trim(coalesce(text,''))),
+                  '[ \t\n\v\f\r]+', ' ', 'g') AS ctext FROM ku),
+         k1 AS (SELECT doc_id, text, lang, source FROM ce
+                QUALIFY doc_id = min(doc_id) OVER (PARTITION BY ctext)),
+         ntoks AS (SELECT doc_id, list_filter(string_split_regex(
+                 trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') tw
+               FROM k1
+               WHERE text IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != ''),
+         nsh AS (SELECT doc_id,
+             CASE WHEN len(tw) < 3 THEN [array_to_string(tw, ' ')]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(tw) - 2),
+                    i -> tw[i] || ' ' || tw[i+1] || ' ' || tw[i+2])) END AS s
+           FROM ntoks),
+         npairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+           FROM nsh a JOIN nsh b ON a.doc_id < b.doc_id),
+         ndrop AS (SELECT DISTINCT b_id AS doc_id FROM npairs
+           WHERE u > 0 AND i * 1.0 / u >= 0.35),
+         k2 AS (SELECT * FROM k1
+                WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+         qm AS (SELECT doc_id, text, lang,
+           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
+                ELSE len(list_filter(string_split_regex(
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'),
+                  t -> t != '')) END AS toks,
+           list_filter(string_split(coalesce(text, ''), chr(10)),
+             l -> trim(l) != '') AS lines,
+           CASE WHEN length(trim(coalesce(text,''))) = 0 THEN []::VARCHAR[]
+                ELSE list_filter(string_split_regex(
+                  trim(coalesce(text,''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'),
+                  t -> t != '') END AS qws
+         FROM k2),
+         qsig AS (SELECT doc_id, text, lang, toks,
+           CASE WHEN len(lines) = 0 THEN 0.0
+                ELSE (len(lines) - len(list_distinct(lines))) * 1.0
+                     / len(lines) END AS dlf,
+           CASE WHEN len(qws) < 3 THEN 0.0
+                ELSE (len(qws) - 2 - len(list_distinct(list_transform(
+                    generate_series(1, len(qws) - 2),
+                    i -> qws[i] || ' ' || qws[i+1] || ' ' || qws[i+2])))) * 1.0
+                  / (len(qws) - 2) END AS dgf
+         FROM qm),
+         qdrop AS (SELECT doc_id FROM qsig
+           WHERE text IS NULL
+              OR NOT coalesce(toks >= 5, FALSE)
+              OR NOT coalesce(dlf <= 0.3, FALSE)
+              OR NOT coalesce(dgf <= 0.3, FALSE)
+              OR (lang IS NOT NULL AND lang NOT IN ('en','de','fr','es'))),
+         k3 AS (SELECT * FROM k2
+                WHERE doc_id NOT IN (SELECT doc_id FROM qdrop)),
+         kc AS (SELECT * FROM k3
+                QUALIFY row_number() OVER (
+                  PARTITION BY (doc_id // 2) % 20 ORDER BY doc_id) <= 8),
+         ht AS (SELECT doc_id, doc_id AS v FROM kc),
+         hs1 AS (SELECT *, (CAST(v AS HUGEINT) & 18446744073709551615::HUGEINT) AS x0 FROM ht),
+         hs2 AS (SELECT *, (((x0 * 668265295::HUGEINT) + (((x0 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS hk1 FROM hs1),
+         hs3 AS (SELECT *, (((hk1 << 31) & 18446744073709551615::HUGEINT) | (hk1 >> 33)) AS hk2 FROM hs2),
+         hs4 AS (SELECT *, (((hk2 * 2246822535::HUGEINT) + (((hk2 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS hk3 FROM hs3),
+         hs5 AS (SELECT *, xor(2870177450012600311::HUGEINT, hk3) AS b0 FROM hs4),
+         hs6 AS (SELECT *, (((b0 << 27) & 18446744073709551615::HUGEINT) | (b0 >> 37)) AS b1 FROM hs5),
+         hs7 AS (SELECT *, (((((b1 * 2246822535::HUGEINT) + (((b1 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT) AS b2 FROM hs6),
+         hs8 AS (SELECT *, xor(b2, b2 >> 33) AS f1 FROM hs7),
+         hs9 AS (SELECT *, (((f1 * 668265295::HUGEINT) + (((f1 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS f2 FROM hs8),
+         hs10 AS (SELECT *, xor(f2, f2 >> 29) AS f3 FROM hs9),
+         hs11 AS (SELECT *, (((f3 * 2654435833::HUGEINT) + (((f3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS f4 FROM hs10),
+         hs12 AS (SELECT *, xor(f4, f4 >> 32) AS c1 FROM hs11),
+         hs13 AS (SELECT *, xor((c1 + 2870177450012600269::HUGEINT) & 18446744073709551615::HUGEINT, 1279370338401826588::HUGEINT) AS g1 FROM hs12),
+         hs14 AS (SELECT *, (((g1 << 27) & 18446744073709551615::HUGEINT) | (g1 >> 37)) AS g2 FROM hs13),
+         hs15 AS (SELECT *, (((((g2 * 2246822535::HUGEINT) + (((g2 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT) AS g3 FROM hs14),
+         hs16 AS (SELECT *, xor(g3, g3 >> 33) AS h1 FROM hs15),
+         hs17 AS (SELECT *, (((h1 * 668265295::HUGEINT) + (((h1 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h2 FROM hs16),
+         hs18 AS (SELECT *, xor(h2, h2 >> 29) AS h3 FROM hs17),
+         hs19 AS (SELECT *, (((h3 * 2654435833::HUGEINT) + (((h3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h4 FROM hs18),
+         hs20 AS (SELECT *, xor(h4, h4 >> 32) AS h5 FROM hs19),
+         hs21 AS (SELECT *, CAST(CASE WHEN h5 >= 9223372036854775808::HUGEINT THEN h5 - 18446744073709551616::HUGEINT ELSE h5 END AS BIGINT) AS h FROM hs20),
+         hx AS MATERIALIZED (SELECT doc_id, h,
+                  ((h % 1000000000) + 1000000000) % 1000000000 AS pm
+                FROM hs21),
+         k4 AS (SELECT doc_id, h FROM hx WHERE pm / 1000000000.0 < 0.5)
+         SELECT ord, stage, docs FROM (
+           SELECT 0 AS ord, 'input' AS stage,
+             CAST(count(*) AS BIGINT) AS docs FROM d0
+           UNION ALL SELECT 1, 'url_dedup', count(*) FROM ku
+           UNION ALL SELECT 2, 'exact_dedup', count(*) FROM k1
+           UNION ALL SELECT 3, 'near_dedup', count(*) FROM k2
+           UNION ALL SELECT 4, 'quality', count(*) FROM k3
+           UNION ALL SELECT 5, 'host_cap', count(*) FROM kc
+           UNION ALL SELECT 6, 'sample', count(*) FROM k4
+           UNION ALL SELECT 7,
              'shard_' || lpad(CAST(((h % 8) + 8) % 8 AS VARCHAR), 2, '0'),
              count(*) FROM k4 GROUP BY 2)
          ORDER BY ord, stage""",

@@ -137,7 +137,26 @@ object Dedup {
 
   def lshCandidates(withSig: DataFrame, idCol: String,
       bands: Int, out: String = "minhash",
-      maxBucketSize: Int = 500): DataFrame = {
+      maxBucketSize: Int = 500): DataFrame =
+    lshCandidatesWithDrops(withSig, idCol, bands, out, maxBucketSize)._1
+
+  /** [[lshCandidates]] plus the stop-band drop REPORT: the oversized-
+    * bucket prune is a deliberate recall loss, and at crawl scale a
+    * silent one reads as "covered everything" when hot boilerplate
+    * buckets were skipped wholesale — so the prune's size is DATA, the
+    * same philosophy that makes violations rows. The report is one row
+    * (dropped_buckets, dropped_occurrences, max_bucket_size): how many
+    * (band, hash) buckets were skipped, how many doc-band occurrences
+    * they held, and the largest bucket seen INCLUDING kept ones (so a
+    * caller can assert max_bucket_size <= maxBucketSize to prove the cap
+    * never engaged — the q_simhash_sharded precondition). Lazily derived
+    * from the already-checkpointed banded frame: callers that ignore it
+    * pay nothing; evaluating it costs one re-aggregation of the tiny
+    * (id, band, bh) frame.
+    */
+  def lshCandidatesWithDrops(withSig: DataFrame, idCol: String,
+      bands: Int, out: String = "minhash",
+      maxBucketSize: Int = 500): (DataFrame, DataFrame) = {
     require(bands >= 1, s"bands must be >= 1: $bands")
     // the bucket frame feeds THREE consumers (oversized agg + both sides
     // of the self-join); without a materialization barrier each one
@@ -155,16 +174,30 @@ object Dedup {
     // actually deduplicates the work.
     val exploded = bandedBuckets(withSig, idCol, bands, out, "id")
       .localCheckpoint(true)
-    val oversized = exploded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
+    val sizes = exploded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_bs"))
+    val oversized = sizes.where(col("_bs") > maxBucketSize)
       .select("band", "bh")
+    val drops = bucketDropReport(sizes, maxBucketSize)
     val pruned = exploded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
     val a = pruned.select(col("band"), col("bh"), col("id").as("a_id"))
     val b = pruned.select(col("band"), col("bh"), col("id").as("b_id"))
-    a.join(b, Seq("band", "bh"))
+    (a.join(b, Seq("band", "bh"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id").distinct(), drops)
   }
+
+  /** One-row stop-band report from a (bucket-keys..., _bs) size frame —
+    * shared by every candidate path so the observable never diverges.
+    */
+  private def bucketDropReport(sizes: DataFrame,
+      maxBucketSize: Int): DataFrame =
+    sizes.agg(
+      coalesce(sum(when(col("_bs") > maxBucketSize, 1L)), lit(0L))
+        .as("dropped_buckets"),
+      coalesce(sum(when(col("_bs") > maxBucketSize, col("_bs"))), lit(0L))
+        .as("dropped_occurrences"),
+      coalesce(max(col("_bs")), lit(0L)).as("max_bucket_size"))
 
   /** Exact Jaccard similarity of word k-shingle sets for given id pairs —
     * the verify stage after LSH candidate generation.
@@ -232,16 +265,27 @@ object Dedup {
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      k: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+      k: Int = 3, maxBucketSize: Int = 500): DataFrame =
+    minHashNearDupsWithDrops(df, idCol, textCol, threshold, numHashes,
+      bands, k, maxBucketSize)._1
+
+  /** [[minHashNearDups]] plus the one-row stop-band drop report (see
+    * [[lshCandidatesWithDrops]]) — pairs are IDENTICAL to the plain form.
+    */
+  def minHashNearDupsWithDrops(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.7, numHashes: Int = 64,
+      bands: Int = 16, k: Int = 3, maxBucketSize: Int = 500)
+      : (DataFrame, DataFrame) = {
     // bands > numHashes truncates the band slice to length 0 — every doc
     // then shares one constant band hash and candidate recall silently
     // collapses to 0 once the stop-band cap prunes the mega-bucket
     require(bands >= 1 && bands <= numHashes,
       s"bands must be in [1, numHashes=$numHashes]: $bands")
     val withSig = withMinHash(df, textCol, numHashes, k)
-    val cands = lshCandidates(withSig, idCol, bands, maxBucketSize = maxBucketSize)
-    jaccardVerify(df, cands, idCol, textCol, k)
-      .where(col("jaccard") >= threshold)
+    val (cands, drops) = lshCandidatesWithDrops(withSig, idCol, bands,
+      maxBucketSize = maxBucketSize)
+    (jaccardVerify(df, cands, idCol, textCol, k)
+      .where(col("jaccard") >= threshold), drops)
   }
 
   /** Decontamination, pair form: near-duplicate (train, eval) pairs ACROSS
@@ -258,7 +302,20 @@ object Dedup {
   def crossCorpusNearDups(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
-      maxBucketSize: Int = 500): DataFrame = {
+      maxBucketSize: Int = 500): DataFrame =
+    crossCorpusNearDupsWithDrops(train, eval, idCol, textCol, threshold,
+      numHashes, bands, k, maxBucketSize)._1
+
+  /** [[crossCorpusNearDups]] plus the one-row stop-band drop report over
+    * the COMBINED train+eval bucket occupancy (see
+    * [[lshCandidatesWithDrops]]) — pairs are IDENTICAL to the plain form.
+    * A non-zero report here is the one a decontamination run must not
+    * ignore: a dropped bucket can hide a real eval leak.
+    */
+  def crossCorpusNearDupsWithDrops(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3,
+      maxBucketSize: Int = 500): (DataFrame, DataFrame) = {
     require(bands >= 1 && bands <= numHashes,
       s"bands must be in [1, numHashes=$numHashes]: $bands")
     // each banded frame feeds two consumers (the combined oversized agg
@@ -270,11 +327,13 @@ object Dedup {
         "minhash", s"${side}_id").localCheckpoint(true)
     val tb = banded(train, "t")
     val eb = banded(eval, "e")
-    val oversized = tb.select(col("band"), col("bh"))
+    val sizes = tb.select(col("band"), col("bh"))
       .unionAll(eb.select(col("band"), col("bh")))
       .groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
+      .agg(count(lit(1)).as("_bs"))
+    val oversized = sizes.where(col("_bs") > maxBucketSize)
       .select("band", "bh")
+    val drops = bucketDropReport(sizes, maxBucketSize)
     // cands feeds three consumers (two member semi-joins + the verify
     // join) — checkpoint; post-LSH it is tiny
     val cands = tb.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
@@ -295,12 +354,12 @@ object Dedup {
           graft.functions.SketchExpressions
             .wordShingleHashes(coalesce(col(textCol), lit("")), k)
             .as(s"${side}_sh"))
-    cands
+    (cands
       .join(shingled(train, "t"), Seq("t_id"))
       .join(shingled(eval, "e"), Seq("e_id"))
       .withColumn("jaccard", jaccardOf(col("t_sh"), col("e_sh")))
       .where(col("jaccard") >= threshold)
-      .select("t_id", "e_id", "jaccard")
+      .select("t_id", "e_id", "jaccard"), drops)
   }
 
   /** Decontamination, filter form: the training corpus with every row that
@@ -333,11 +392,13 @@ object Dedup {
     * equality up to negligible collisions, the [[repeatedSpans]] contract.
     *
     * Scale shape: the eval window set is DISTINCT eval n-gram hashes —
-    * eval-sized, tiny next to train, so AQE broadcasts the semi-join
-    * build side and the pass is one linear scan of train windows; never
-    * train × eval, never train². The window pass is recomputed per
-    * consumer rather than pinned, the same trade [[repeatedSpans]]
-    * documents. PRECONDITIONS: train `idCol` unique and non-null (a
+    * eval-sized, tiny next to train, so AQE broadcasts the join build
+    * side and the pass is ONE linear scan of exploded train windows
+    * producing BOTH counts (a left join marks eval hits; `count(1)` vs
+    * `count(marker)` in the same aggregate — `count` skips nulls); never
+    * train × eval, never train². The only second train touch is an
+    * ids-only column-pruned scan to restore zero-window docs (null/short
+    * texts explode to no rows). PRECONDITIONS: train `idCol` unique and non-null (a
     * null id's counts never join back — silent false negative;
     * duplicate ids merge counts then fan out — the
     * [[commonLineRemoval]] contract), and train/eval DISJOINT (an eval
@@ -351,14 +412,16 @@ object Dedup {
     def wins(c: Column) = wordWindowHashes(coalesce(c, lit("")), n)
     val evalWins = eval
       .select(explode(wins(col(textCol))).as("h")).distinct()
-    val sharedCounts = train
+      .withColumn("_hit", lit(1))
+    val winCounts = train
       .select(col(idCol).as("t_id"), explode(wins(col(textCol))).as("h"))
-      .join(evalWins, Seq("h"), "left_semi")
-      .groupBy(col("t_id")).agg(count(lit(1)).as("_shared"))
-    train.select(col(idCol).as("t_id"),
-        size(wins(col(textCol))).cast("long").as("n_windows"))
-      .join(sharedCounts, Seq("t_id"), "left")
-      .select(col("t_id"), col("n_windows"),
+      .join(evalWins, Seq("h"), "left")
+      .groupBy(col("t_id"))
+      .agg(count(lit(1)).as("_nw"), count(col("_hit")).as("_shared"))
+    train.select(col(idCol).as("t_id"))
+      .join(winCounts, Seq("t_id"), "left")
+      .select(col("t_id"),
+        coalesce(col("_nw"), lit(0L)).as("n_windows"),
         coalesce(col("_shared"), lit(0L)).as("shared_windows"))
       .withColumn("contaminated", col("shared_windows") > 0)
   }
@@ -639,6 +702,15 @@ object Dedup {
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, k: Int = 3, maxBucketSize: Int = 500): DataFrame =
     simHashNearDupsImpl(df, idCol, textCol, maxHamming, k, maxBucketSize,
+      shardKey = None)._1
+
+  /** [[simHashNearDups]] plus the one-row stop-band drop report (see
+    * [[lshCandidatesWithDrops]]) — pairs are IDENTICAL to the plain form.
+    */
+  def simHashNearDupsWithDrops(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, k: Int = 3,
+      maxBucketSize: Int = 500): (DataFrame, DataFrame) =
+    simHashNearDupsImpl(df, idCol, textCol, maxHamming, k, maxBucketSize,
       shardKey = None)
 
   /** [[simHashNearDups]] past the banding capacity bound: the corpus is
@@ -662,7 +734,17 @@ object Dedup {
     */
   def simHashNearDupsSharded(df: DataFrame, idCol: String, textCol: String,
       nShards: Int, maxHamming: Int = 3, k: Int = 3,
-      maxBucketSize: Int = 500): DataFrame = {
+      maxBucketSize: Int = 500): DataFrame =
+    simHashNearDupsShardedWithDrops(df, idCol, textCol, nShards,
+      maxHamming, k, maxBucketSize)._1
+
+  /** [[simHashNearDupsSharded]] plus the one-row stop-band drop report
+    * (see [[lshCandidatesWithDrops]]; bucket keys here include the shard
+    * id) — pairs are IDENTICAL to the plain form.
+    */
+  def simHashNearDupsShardedWithDrops(df: DataFrame, idCol: String,
+      textCol: String, nShards: Int, maxHamming: Int = 3, k: Int = 3,
+      maxBucketSize: Int = 500): (DataFrame, DataFrame) = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     require(!df.columns.contains("_shard"),
       "simHashNearDupsSharded reserves the _shard column name")
@@ -674,7 +756,7 @@ object Dedup {
 
   private def simHashNearDupsImpl(df: DataFrame, idCol: String,
       textCol: String, maxHamming: Int, k: Int, maxBucketSize: Int,
-      shardKey: Option[String]): DataFrame = {
+      shardKey: Option[String]): (DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63]: $maxHamming")
     val bandsN = maxHamming + 1
@@ -699,20 +781,22 @@ object Dedup {
       .select(col("id") +: col("simhash") +: shardKey.toSeq.map(col) :+
         col("bb.band").as("band") :+ col("bb.bv").as("bv"): _*)
       .localCheckpoint(true)
-    val oversized = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
+    val sizes = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bs"))
+    val oversized = sizes.where(col("_bs") > maxBucketSize)
       .select(keys.map(col): _*)
+    val drops = bucketDropReport(sizes, maxBucketSize)
     val pruned = banded.join(broadcast(oversized), keys, "left_anti")
     val a = pruned.select(keys.map(col) :+ col("id").as("a_id") :+
       col("simhash").as("a_sig"): _*)
     val b = pruned.select(keys.map(col) :+ col("id").as("b_id") :+
       col("simhash").as("b_sig"): _*)
-    a.join(b, keys)
+    (a.join(b, keys)
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .distinct()
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= maxHamming), drops)
   }
 
   /** EXACT connected components over an undirected near-dup pair list —

@@ -10,6 +10,11 @@ import graft.engine.{EngineConfig, ValidationEngine}
   * individual operators exist FOR, in the canonical order a web-scale
   * pipeline runs them:
   *
+  *   0.5. optionally, canonical-url uniqueness — canonicalize, then keep
+  *      one doc per canonical url (FineWeb's "url dedup"; see
+  *      `canonicalizeUrlCol` below). Canon runs BEFORE uniqueness, the
+  *      SURVEY §1.4 mandate, so re-crawls and tracking-param variants
+  *      collide.
   *   1. exact dedup on the canonical text fingerprint (keep min id per
   *      group — one shuffle of 8-byte keys + ids)
   *   2. MinHash-LSH near-dup prune at `nearDupThreshold`: drop the `b`
@@ -22,6 +27,8 @@ import graft.engine.{EngineConfig, ValidationEngine}
   *      `maxRepeatedSpanFraction` below)
   *   3. quality filter: drop docs with any ERROR-severity violation from
   *      [[QualityRules]] (warn-severity flags keep the doc)
+  *      (3b. optionally, the Gopher/FineWeb at-most-k-docs-per-host cap —
+  *      see `maxDocsPerKey` below; exact salted top-k, skew-proof)
   *   4. deterministic sample at `sampleRate` ([[Sampling]] — rerun- and
   *      partitioning-invariant, supersets monotone in the rate)
   *   5. stable shard assignment into `nShards`
@@ -70,16 +77,50 @@ object CorpusPipeline {
       // skipped entirely, report shape unchanged.
       maxRepeatedSpanFraction: Option[Double] = None,
       spanK: Int = 20, spanMinDocs: Int = 2,
+      // optional stage between input and exact dedup — the FineWeb "url
+      // dedup" step: canonicalize this raw-url column
+      // ([[TextFunctions.canonicalUrl]]) and keep the min doc_id per
+      // canonical url, so re-crawls of one page collide BEFORE the
+      // text-level passes (an 8-byte url-hash shuffle is far cheaper
+      // than shingling the duplicate's full text downstream). The kept
+      // frame carries the CANONICAL url forward as `url`. Null urls pass
+      // through un-deduped (no url ≠ same url). None (default) = stage
+      // skipped, report shape unchanged.
+      canonicalizeUrlCol: Option[String] = None,
+      // optional per-host document cap (Gopher/FineWeb "at most k docs
+      // per host"), applied AFTER the quality gate so boilerplate pages
+      // don't consume a host's budget: key = the canonical url's
+      // authority, order = doc_id (deterministic), via the exact
+      // two-phase salted [[Sampling.capPerKey]] — the skew-proof form a
+      // mega-host needs. Requires `canonicalizeUrlCol`.
+      maxDocsPerKey: Option[Int] = None,
       materialize: DataFrame => DataFrame = _.localCheckpoint(false))
       : (DataFrame, DataFrame) = {
     require(Set("greedy", "components")(nearDupStrategy), nearDupStrategy)
+    require(maxDocsPerKey.isEmpty || canonicalizeUrlCol.isDefined,
+      "maxDocsPerKey keys on the canonical url host — pass canonicalizeUrlCol")
 
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("text"), col(langCol).as("lang"),
-      col(partCol).as("source"))
+    val base = docs.select(
+      (Seq(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), col(langCol).as("lang"),
+        col(partCol).as("source")) ++
+        canonicalizeUrlCol.map(u =>
+          TextFunctions.canonicalUrl(col(u)).as("url"))): _*)
+
+    // 0.5. (optional) url uniqueness on the canonical form: min id
+    // survives its url group; null urls all survive (isNull guard — a
+    // shared-null window group must not collapse distinct url-less docs)
+    val keepUrl = canonicalizeUrlCol match {
+      case None => base
+      case Some(_) => materialize(base
+        .withColumn("_keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("url"))))
+        .where(col("url").isNull || col("doc_id") === col("_keep_id"))
+        .drop("_keep_id"))
+    }
 
     // 1. exact dedup: min id survives its fingerprint group
-    val keepExact = materialize(base
+    val keepExact = materialize(keepUrl
       .withColumn("_fp", TextFunctions.fingerprint(col("text")))
       .withColumn("_keep_id",
         min(col("doc_id")).over(Window.partitionBy(col("_fp"))))
@@ -122,8 +163,20 @@ object CorpusPipeline {
         .select(col("key").cast("long").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti"))
 
+    // 3b. (optional) per-host cap among the quality survivors — the
+    // salted exact top-k, ordered by doc_id so the kept set replays
+    val keepCapped = maxDocsPerKey match {
+      case None => keepQuality
+      case Some(k) =>
+        val withHost = keepQuality.withColumn("_host",
+          regexp_extract(col("url"), "^[^/?#]*//([^/?#]+)", 1))
+        materialize(Sampling.capPerKey(withHost, Seq("_host"),
+          Seq(col("doc_id")), k, saltOn = Some(col("doc_id")))
+          .drop("_host"))
+    }
+
     // 4-5. deterministic sample + stable shards
-    val sampled = Sampling.deterministicSample(keepQuality, "doc_id", sampleRate)
+    val sampled = Sampling.deterministicSample(keepCapped, "doc_id", sampleRate)
     val kept = sampled.withColumn("shard",
       Sampling.shardColumn(col("doc_id"), nShards))
 
@@ -131,15 +184,20 @@ object CorpusPipeline {
       df.agg(count(lit(1)).cast("long").as("docs"))
         .select(lit(ord).as("ord"), lit(name).as("stage"), col("docs"))
 
-    // stage ords stay 0-4 with the default gate OFF so the oracled report
-    // shape (q_corpus_pipeline) is byte-identical; the optional span stage
+    // stage ords stay 0-4 with the default gates OFF so the oracled report
+    // shape (q_corpus_pipeline) is byte-identical; each optional stage
     // slots in with its own ord only when enabled
     val stages: Seq[(String, DataFrame)] =
-      Seq("input" -> base, "exact_dedup" -> keepExact,
-        "near_dedup" -> keepNear) ++
+      Seq("input" -> base) ++
+      (if (canonicalizeUrlCol.isDefined) Seq("url_dedup" -> keepUrl)
+       else Nil) ++
+      Seq("exact_dedup" -> keepExact, "near_dedup" -> keepNear) ++
       (if (maxRepeatedSpanFraction.isDefined) Seq("span_gate" -> keepSpans)
        else Nil) ++
-      Seq("quality" -> keepQuality, "sample" -> sampled)
+      Seq("quality" -> keepQuality) ++
+      (if (maxDocsPerKey.isDefined) Seq("host_cap" -> keepCapped)
+       else Nil) ++
+      Seq("sample" -> sampled)
     val report = stages.zipWithIndex
       .map { case ((name, df), ord) => stage(ord, name, df) }
       .reduce(_.unionByName(_))

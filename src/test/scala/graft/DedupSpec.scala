@@ -369,6 +369,47 @@ class DedupSpec extends SparkSuite {
       .columns.contains("_shard"))
   }
 
+  test("stop-band drop report: a planted mega-bucket is counted, graded pairs unchanged") {
+    // 300 verbatim copies of one boilerplate page (the hot-bucket shape at
+    // crawl scale) on top of the 6-doc near-dup corpus: identical texts →
+    // identical minhash signatures → ONE bucket per band, size 300
+    val boiler = (100L until 400L)
+      .map(i => (i, "accept cookies to continue reading this site uses " +
+        "cookies privacy policy terms of service all rights reserved"))
+    val corpus = docs.unionByName(boiler.toDF("doc_id", "text"))
+
+    // capped run: every boilerplate band-bucket (16 bands) overflows the
+    // 200 cap and is dropped — the report SEES the recall loss...
+    val (pairs, drops) = Dedup.minHashNearDupsWithDrops(corpus,
+      "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 16,
+      maxBucketSize = 200)
+    val d = drops.select("dropped_buckets", "dropped_occurrences",
+      "max_bucket_size").as[(Long, Long, Long)].head()
+    assert(d === ((16L, 16L * 300L, 300L)), s"drop report: $d")
+    // ...and the graded pair set is exactly what the plain form returns:
+    // the planted real-corpus pairs, no boilerplate pair surviving the cap
+    val got = pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 6L)),
+      s"pairs: $got")
+
+    // uncapped control: nothing dropped, and the report's max observes the
+    // mega-bucket's true size — the observable a capacity audit needs
+    val (_, drops2) = Dedup.minHashNearDupsWithDrops(corpus,
+      "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 16,
+      maxBucketSize = 1000)
+    val d2 = drops2.select("dropped_buckets", "dropped_occurrences",
+      "max_bucket_size").as[(Long, Long, Long)].head()
+    assert(d2 === ((0L, 0L, 300L)), s"uncapped report: $d2")
+
+    // the simhash paths share bucketDropReport: identical docs → identical
+    // 64-bit fingerprints → one bucket per band (maxHamming 3 → 4 bands)
+    val (_, simDrops) = Dedup.simHashNearDupsWithDrops(corpus,
+      "doc_id", "text", maxHamming = 3, maxBucketSize = 200)
+    val sd = simDrops.select("dropped_buckets", "dropped_occurrences")
+      .as[(Long, Long)].head()
+    assert(sd._1 >= 4L && sd._2 >= 4L * 300L, s"simhash report: $sd")
+  }
+
   test("connected components: chains label exactly, greedy over-drop case resolved") {
     // components {1,2,3} (CHAIN: 1-2, 2-3, no 1-3 edge — greedy b-side
     // dropping would drop 2 AND 3 even though 3's only near-dup is
