@@ -895,6 +895,42 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // The two REWRITE operators composed in production (CCNet) order:
+    // duplicated-line removal FIRST, then repeated-span removal over the
+    // REWRITTEN texts — the shape where rewrite operators silently
+    // disagree (trim/EOL/tokenization semantics), so the composition gets
+    // its own oracle. Planted corpus: a 3-string common footer (removed
+    // by the line pass), the unique corpus soup, a per-doc-unique line
+    // carrying a SHARED 9-token promo prefix (survives the line pass —
+    // the whole line is unique — but its 8-token windows repeat across
+    // ~56 docs, so the span pass deletes them everywhere except the
+    // owner), and a unique tail. The oracle re-derives both passes
+    // literally: the span pass tokenizes the LINE-CLEANED text (newlines
+    // are whitespace — windows legally straddle the lines the first pass
+    // left), span-touched docs re-join with single spaces, untouched docs
+    // keep the line-pass output byte-identical.
+    "q_rewrite_compose" -> ((s, dir) => {
+      val pool3 = array(lit("Cookie notice"),
+        lit("Subscribe to our newsletter"), lit("Contact us"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          element_at(pool3, (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(lit("promo alpha beta gamma delta epsilon zeta eta theta uniq"),
+              col("doc_id").cast("string"))),
+          concat(lit("tail "), col("doc_id").cast("string"))).as("text"))
+      val lineClean = graft.dedup.Dedup.commonLineRemoval(
+          docs, "doc_id", "text", minDocs = 5)
+        .select(col("doc_id"), col("clean_text").as("text"),
+          col("n_removed").as("lines_removed"))
+      graft.dedup.Dedup.removeRepeatedSpans(lineClean, "doc_id", "text",
+          k = 8, minDocs = 2)
+        .select(col("doc_id"), col("clean_text"), col("lines_removed"),
+          col("tokens_removed"))
+        .stableSorted("doc_id")
+    }),
+
     // Content fingerprints, value-checked end-to-end: canonical-text
     // xxhash64 (the exact-dedup key) and the 1-hash MinHash
     // (rollingMinShingleHash). The oracle re-implements XXH64 over UTF-8
@@ -1211,6 +1247,8 @@ object SparkEntry {
             .otherwise(col("b0")))
         .withColumn("ts_synth",
           timestamp_seconds(lit(1704067200L) + col("rn") * 60L))
+      // harness-side collect ONLY: MemoryStream micro-batches are fed from
+      // the driver by construction; production streams read a real source
       val byBatch = seq0.select("batch", "user_id", "ts_synth", "src",
           "event_type").collect()
         .map(r => (r.getInt(0), StreamingValidation.TransitionEvent(
@@ -1252,6 +1290,7 @@ object SparkEntry {
         when(col("doc_id") % 50 === 0, lit(null).cast("string"))
           .otherwise(concat(coalesce(col("text"), lit("")), lit(" #"),
             col("doc_id").cast("string"))).as("t"))
+      // harness-side collect ONLY (MemoryStream fixture feeding, sf-bounded)
       def mk(df: DataFrame): Seq[(Long, java.sql.Timestamp, String)] =
         df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
           if (r.isNullAt(2)) null else r.getString(2))).toSeq
@@ -1309,6 +1348,7 @@ object SparkEntry {
       val (tmin, tmax) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
       val (c1, c2) = (tmin + (tmax - tmin) / 3, tmin + 2 * (tmax - tmin) / 3)
       def slice(lo: Long, hi: Long): Seq[(java.sql.Timestamp, String)] =
+        // harness-side collect ONLY (MemoryStream fixture feeding, sf-bounded)
         ev.where(col("ts").cast("long") * 1000 >= lo &&
             col("ts").cast("long") * 1000 < hi)
           .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSeq
@@ -2834,6 +2874,67 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
            CAST(len(string_split(d.text, chr(10))) - coalesce(a.keptn, 0) AS BIGINT) AS n_removed
          FROM docs d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // the composed rewrite: the q_line_dedup pass (minDocs=5 footer
+    // removal) feeds the q_span_removal pass (k=8 windows over the
+    // line-cleaned token stream) — both re-derived literally in sequence
+    "q_rewrite_compose" ->
+      """WITH docs AS (SELECT doc_id, concat_ws(chr(10),
+             ['Cookie notice','Subscribe to our newsletter','Contact us'][CAST(doc_id % 3 AS INT) + 1],
+             text,
+             CASE WHEN doc_id % 9 = 0 THEN
+               'promo alpha beta gamma delta epsilon zeta eta theta uniq' || doc_id END,
+             'tail ' || doc_id) AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS ll FROM docs),
+         l AS (SELECT doc_id, ll, unnest(generate_series(1, len(ll))) AS pos FROM ls),
+         n AS (SELECT doc_id, pos, ll[pos] AS line, trim(ll[pos]) AS nrm FROM l),
+         common AS (SELECT nrm FROM (SELECT DISTINCT doc_id, nrm FROM n WHERE nrm != '')
+           GROUP BY nrm HAVING count(*) >= 5),
+         kept AS (SELECT doc_id, pos, line FROM n
+           WHERE nrm = '' OR nrm NOT IN (SELECT nrm FROM common)),
+         agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS keptn FROM kept GROUP BY doc_id),
+         lc AS (SELECT d.doc_id, coalesce(a.clean_text, '') AS text,
+             CAST(len(string_split(d.text, chr(10))) - coalesce(a.keptn, 0) AS BIGINT) AS lines_removed
+           FROM docs d LEFT JOIN agg a USING (doc_id)),
+         toks0 AS (SELECT doc_id, text, lines_removed, list_filter(string_split_regex(
+           trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+           '[ \t\n\v\f\r]+'), t -> t != '') AS ws FROM lc),
+         w0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i1
+           FROM toks0 WHERE len(ws) >= 8),
+         wins AS (SELECT doc_id, i1 - 1 AS i0,
+             array_to_string(list_slice(ws, i1, i1 + 7), ' ') AS span FROM w0),
+         dup AS (SELECT span, min(doc_id) AS owner
+           FROM (SELECT DISTINCT doc_id, span FROM wins)
+           GROUP BY span HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT doc_id, pos FROM (
+             SELECT w.doc_id, unnest(generate_series(w.i0, w.i0 + 7)) AS pos
+             FROM wins w JOIN dup d USING (span) WHERE w.doc_id != d.owner)),
+         ownp AS (SELECT DISTINCT doc_id, pos FROM (
+             SELECT w.doc_id, unnest(generate_series(w.i0, w.i0 + 7)) AS pos
+             FROM wins w JOIN dup d USING (span) WHERE w.doc_id = d.owner)),
+         rem AS (SELECT c.doc_id, c.pos FROM cov c
+           LEFT JOIN ownp o ON o.doc_id = c.doc_id AND o.pos = c.pos
+           WHERE o.doc_id IS NULL),
+         remc AS (SELECT doc_id, count(*) AS rm FROM rem GROUP BY doc_id),
+         t1 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p1
+           FROM toks0 WHERE doc_id IN (SELECT doc_id FROM remc)),
+         toksp AS (SELECT doc_id, p1 - 1 AS pos, ws[p1] AS tok FROM t1),
+         kept2 AS (SELECT t.doc_id, t.pos, t.tok FROM toksp t
+           LEFT JOIN rem c ON c.doc_id = t.doc_id AND c.pos = t.pos
+           WHERE c.doc_id IS NULL),
+         agg2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS keptn FROM kept2 GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN r.doc_id IS NOT NULL THEN coalesce(a2.clean_text, '')
+                ELSE d.text END AS clean_text,
+           d.lines_removed,
+           CAST(coalesce(r.rm, 0) AS BIGINT) AS tokens_removed
+         FROM toks0 d
+         LEFT JOIN remc r USING (doc_id)
+         LEFT JOIN agg2 a2 USING (doc_id)
          ORDER BY d.doc_id""",
 
     // exact string-shingle Jaccard over the same (doc_id, doc_id+3)

@@ -535,6 +535,16 @@ object Dedup {
     * actually lose a token are tokenized and reassembled — clean docs
     * never enter the rebuild shuffle. `idCol` must be unique and
     * non-null (the [[commonLineRemoval]] contract).
+    *
+    * COLLISION CONTRACT (this is a rewrite, so hash equality deserves a
+    * stated failure bound): window equality is 64-bit FNV — a collision
+    * wrongly deletes AT MOST k tokens of one document (the colliding
+    * window's coverage), at ~n²/2^64 odds over distinct duplicated
+    * windows. Unlike [[commonLineRemoval]] there is no cheap string
+    * carry (windows overlap ×k, so confirming strings re-materializes k
+    * tokens per occurrence); audit-grade runs should gate on the
+    * flagging form [[repeatedSpans]] instead, whose output is counts,
+    * not rewrites.
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2,
@@ -629,14 +639,26 @@ object Dedup {
     * split on the LITERAL separator, matched on their trimmed text,
     * re-joined with the same separator). Any literal string works — it
     * is regex-quoted before splitting.
+    *
+    * `confirmStrings` addresses the one failure mode hash equality
+    * leaves open: this is a REWRITE — a 2^-64 collision here deletes a
+    * unique line, not just miscounts it. When true, the duplicated-line
+    * build side carries one representative trimmed STRING per hash
+    * (fetched by a second linear pass over the lines, semi-joined to the
+    * tiny hash set so only boilerplate candidates materialize strings)
+    * and the anti-join confirms string equality — a collision victim
+    * fails the confirm and is KEPT (under-delete, the conservative side
+    * for training data). Default false: the extra scan is real and the
+    * collision odds (~n²/2^64 over DISTINCT boilerplate lines, not the
+    * corpus) are negligible below ~10^8 distinct flagged lines.
     */
   def commonLineRemoval(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int, outCol: String = "clean_text",
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n", confirmStrings: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     require(sep.nonEmpty, "sep must be non-empty")
     val reserved = Seq(outCol, "n_removed", "_id", "_pos", "_unit",
-      "_norm", "_k", "_nd", "_kept")
+      "_norm", "_k", "_nd", "_kept", "_s")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"commonLineRemoval reserves the '$c' column name"))
     // limit -1: trailing empty lines survive the split, so rebuilt line
@@ -650,9 +672,22 @@ object Dedup {
       .groupBy(col("_k")).agg(count(lit(1)).as("_nd"))
       .where(col("_nd") >= minDocs)
       .select(col("_k"))
-    val kept = lines.join(common,
-      xxhash64(col("_norm")) === common("_k") && col("_norm") =!= "",
-      "left_anti")
+    val kept = if (!confirmStrings)
+      lines.join(common,
+        xxhash64(col("_norm")) === common("_k") && col("_norm") =!= "",
+        "left_anti")
+    else {
+      // one representative string per flagged hash (min = deterministic;
+      // under collision the minority string fails the confirm and stays)
+      val confirmed = lines.where(col("_norm") =!= "")
+        .select(xxhash64(col("_norm")).as("_k"), col("_norm").as("_s"))
+        .join(common, Seq("_k"), "left_semi")
+        .groupBy(col("_k")).agg(min(col("_s")).as("_s"))
+      lines.join(confirmed,
+        xxhash64(col("_norm")) === confirmed("_k") &&
+          col("_norm") === confirmed("_s") && col("_norm") =!= "",
+        "left_anti")
+    }
     val rebuilt = reassemble(kept, sep, outCol)
     df.join(rebuilt, col(idCol) === rebuilt("_id"), "left")
       .select(df.columns.map(col) :+

@@ -47,6 +47,10 @@ object SubdocProbe {
 
     def level(tag: String, d: DataFrame)(run: DataFrame => Long): Unit = {
       val n = d.count()
+      // one DISCARDED warmup rep: ×1 always ran before ×10, so JIT/codegen
+      // cache warmup landed entirely on the ×1 leg and produced
+      // "×10 faster than ×1" readings best-of-N can't fix (ADVICE r6)
+      run(d)
       var best = Double.MaxValue
       var out = -1L
       for (_ <- 0 until reps) {

@@ -303,6 +303,14 @@ class DedupSpec extends SparkSuite {
         "text", minDocs = 4)
       .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
     assert(repart === out.map { case (k, v) => k -> v._1 })
+    // confirmStrings (the collision-proof rewrite mode) is output-identical
+    // absent collisions — the string confirm must never change a clean run
+    val confirmed = Dedup.commonLineRemoval(docs, "doc_id", "text",
+        minDocs = 4, confirmStrings = true)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, java.lang.Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(confirmed === out)
   }
 
   test("paragraph-granularity removal: sep=\\n\\n dedups whole paragraphs, lines inside them survive") {

@@ -128,6 +128,62 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$sink/batch_id=0").count() === before)
   }
 
+  test("legitimate resume: same checkpoint continues past prior batches; verdicts equal an uninterrupted run") {
+    // the clobber guard's complement: the marker must stay QUIET on a real
+    // resume — same checkpoint, same sink — and the resumed lineage must
+    // append batches past the prior run's ids without rewriting them
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
+      partExpr = "source")
+    val rules = graft.text.QualityRules.catalog()
+    val chunkA = Seq(
+      (1L, "short", "en", "s0"),
+      (2L, "a perfectly fine document with many whitespace tokens inside", "en", "s0"))
+    val chunkB = Seq(
+      (11L, "tiny", "en", "s1"),
+      (12L, "another perfectly fine document with many whitespace tokens", "en", "s1"))
+
+    def violations(path: String) = spark.read.parquet(path)
+      .select("key", "rule_id").as[(String, String)].collect().toSet
+
+    val sink = Files.createTempDirectory("resume_sink").toString + "/v"
+    val ckpt = Files.createTempDirectory("resume_ckpt").toString
+    val stream = MemoryStream[(Long, String, String, String)]
+    def writer = StreamingValidation.validateStream(
+      graft.text.QualityRules.withSignals(
+        stream.toDF().toDF("doc_id", "text", "lang", "source")),
+      rules, Map.empty, cfg, sink, ckpt)
+
+    stream.addData(chunkA)
+    val q1 = writer.start(); q1.awaitTermination(120000); q1.stop()
+    val afterA = violations(sink)
+    val batch0 = spark.read.parquet(s"$sink/batch_id=0").collect().toSet
+    assert(afterA.nonEmpty)
+
+    // restart from the SAME checkpoint with new data queued: the lineage
+    // marker matches, so the run proceeds and processes ONLY chunk B
+    stream.addData(chunkB)
+    val q2 = writer.start(); q2.awaitTermination(120000); q2.stop()
+    val resumed = spark.read.parquet(sink)
+    val ids = resumed.select(col("batch_id").cast("long"))
+      .distinct().as[Long].collect().toSet
+    assert(ids.size > 1 && ids.max > 0, s"batch ids after resume: $ids")
+    // batch 0's files were not rewritten — the resume appended, row-exact
+    assert(spark.read.parquet(s"$sink/batch_id=0").collect().toSet === batch0)
+
+    // uninterrupted control: both chunks in one lineage → same verdicts
+    val sink2 = Files.createTempDirectory("resume_sink_ctl").toString + "/v"
+    val ckpt2 = Files.createTempDirectory("resume_ckpt_ctl").toString
+    val stream2 = MemoryStream[(Long, String, String, String)]
+    val w2 = StreamingValidation.validateStream(
+      graft.text.QualityRules.withSignals(
+        stream2.toDF().toDF("doc_id", "text", "lang", "source")),
+      rules, Map.empty, cfg, sink2, ckpt2)
+    stream2.addData(chunkA); stream2.addData(chunkB)
+    val q3 = w2.start(); q3.awaitTermination(120000); q3.stop()
+    assert(violations(sink) === violations(sink2))
+  }
+
   test("stateful FSM stream: state store catches cross-batch source mismatches") {
     import graft.streaming.StreamingValidation.{TransitionEvent, FsmStreamViolation}
     implicit val sqlCtx = spark.sqlContext
