@@ -801,6 +801,25 @@ object SparkEntry {
         .stableSorted("id")
     }),
 
+    // Quality-aware keeper selection per near-dup cluster (the FineWeb
+    // refinement of min-id keeping): components over the same pair graph
+    // as q_dedup_components, then keep the LONGEST member of each cluster
+    // (score = char length, ties -> min id); singletons always kept. The
+    // oracle re-derives the clusters with the recursive CTE and the
+    // keeper with a (score DESC, id ASC) window — every doc graded, comp,
+    // score and flag value-checked.
+    "q_dedup_keeper" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = graft.dedup.Dedup.minHashNearDups(docs,
+        "doc_id", "text", threshold = 0.35, numHashes = 64, bands = 21,
+        maxBucketSize = 200)
+      val comps = graft.dedup.Dedup.connectedComponents(pairs, "a_id", "b_id")
+      graft.dedup.Dedup.bestKeeperPerComponent(docs, comps, "doc_id",
+          length(coalesce(col("text"), lit(""))).cast("long"))
+        .select(col("doc_id").as("id"), col("comp"), col("score"), col("keep"))
+        .stableSorted("id")
+    }),
+
     // Exact k-shingle Jaccard verify over an EXPLICIT pair list (the
     // post-LSH verify stage used standalone): deterministic pairs
     // (doc_id, doc_id + 3), UNthresholded so empty/null-text handling is
@@ -2731,6 +2750,43 @@ object SparkEntry {
            SELECT rc.id, e.b FROM reach rc JOIN edges e ON e.a = rc.r)
          SELECT id, CAST(min(r) AS BIGINT) AS comp
          FROM reach GROUP BY id ORDER BY id""",
+
+    // same cluster derivation as q_dedup_components, then the keeper:
+    // highest char-length member per cluster (ties -> min id); docs
+    // outside the pair graph are singleton clusters of themselves
+    "q_dedup_keeper" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(
+                 trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+'), t -> t != '') ws
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) != ''),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+           FROM toks),
+         cp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         gp AS (SELECT a_id, b_id FROM cp
+           WHERE u > 0 AND i * 1.0 / u >= 0.35),
+         edges AS (SELECT a_id AS a, b_id AS b FROM gp
+           UNION SELECT b_id, a_id FROM gp),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT rc.id, e.b FROM reach rc JOIN edges e ON e.a = rc.r),
+         comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id AS id,
+             CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS comp,
+             CAST(length(coalesce(d.text, '')) AS BIGINT) AS score
+           FROM documents d LEFT JOIN comps c ON c.id = d.doc_id)
+         SELECT id, comp, score,
+           (row_number() OVER (PARTITION BY comp ORDER BY score DESC, id ASC) = 1) AS keep
+         FROM lab ORDER BY id""",
 
     // k=8 token windows as literal strings; a window is duplicated iff
     // its exact token sequence occurs in >= 2 DISTINCT docs (within-doc

