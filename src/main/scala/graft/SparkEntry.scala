@@ -1447,6 +1447,78 @@ object SparkEntry {
         .stableSorted("source", "doc_id")
     }),
 
+    // Sequence packing (the GPT-2/3 chunking recipe): concatenate docs +
+    // one EOS separator each in deterministic hash order within hash
+    // shards, chop the token stream into 128-token blocks, docs crossing
+    // boundaries. Pure offset arithmetic — a per-shard prefix sum — so
+    // the ORACLE re-derives every span: the same XXH64 HUGEINT chain as
+    // q_sampling for shard + order, the same whitespace tokenizer as
+    // q_token_count, then a window cumsum. Every doc graded on (shard,
+    // n_tokens, offset, first_block, last_block).
+    "q_sequence_pack" -> ((s, dir) => {
+      import graft.text.{Packing, TextFunctions => TF}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Packing.packSequences(docs, "doc_id", TF.tokenCount(col("text")),
+          blockLen = 128, nShards = 4)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("offset"), col("first_block"), col("last_block"))
+        .stableSorted("doc_id")
+    }),
+
+    // Source mixing (the Pile / GPT-3 mixture-weights recipe): per-source
+    // sampling rates derived from mixture weights + a 30k-token budget —
+    // src0's rate saturates the maxRate=8 cap, src1/src2 upsample with a
+    // hash-resolved fractional epoch, src3 downsamples, unweighted
+    // sources keep copies=0 (drops are data). Graded per-doc (copies)
+    // AND per-source realized token totals (sum copies×tokens, exact
+    // BIGINT); the oracle re-derives the double-arithmetic rate chain
+    // bit-for-bit ((budget*w)/T, least, floor) and the XXH64 coordinate.
+    "q_source_mixing" -> ((s, dir) => {
+      import graft.text.{Sampling, TextFunctions => TF}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val weights = Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.08,
+        "src3" -> 0.02)
+      val withCopies = Sampling.mixtureCopies(docs, "doc_id", "source",
+        TF.tokenCount(col("text")), weights, tokenBudget = 30000L,
+        maxRate = 8.0)
+      val perDoc = withCopies.select(lit("doc").as("family"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("k"),
+        col("copies").as("n"))
+      val realized = withCopies
+        .groupBy(col("source"))
+        .agg(sum(col("copies") * TF.tokenCount(col("text")).cast("long"))
+          .as("n"))
+        .select(lit("realized").as("family"), col("source").as("k"),
+          col("n"))
+      perDoc.unionByName(realized).stableSorted("family", "k")
+    }),
+
+    // Char-3-gram LM quality scoring (the CCNet KenLM-signal analog):
+    // train on the doc_id%5==0 slice, score every doc. Graded on the
+    // EXACT integer core of the score — positions, train-count mass of
+    // the doc's grams and contexts, OOV positions — re-derived in
+    // DuckDB with the same explode/join/aggregate; the transcendental
+    // avg_logp ranking signal itself is spec-pinned (LangModelSpec)
+    // because ln() bit-parity across engines isn't contractual.
+    "q_charlm_score" -> ((s, dir) => {
+      import graft.text.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = LangModel.trainCharLm(
+        docs.where(pmod(col("doc_id"), lit(5)) === 0), "text", n = 3)
+      // every 7th doc gets out-of-distribution chars appended, so the
+      // graded row exercises the OOV/backoff branches (the raw corpus
+      // is single-alphabet word soup: oov would be 0 everywhere)
+      val scored = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(coalesce(col("text"), lit("")), lit(" €txt§")))
+          .otherwise(col("text")))
+      LangModel.scoreCharLm(scored, "doc_id", "text", model, n = 3)
+        .select(col("doc_id"), col("n_pos"), col("sum_gram"),
+          col("sum_ctx"), col("oov"))
+        .stableSorted("doc_id")
+    }),
+
     // URL canonicalization + PII scrub over deterministically-messied
     // inputs built from the documents table — the web-dedup prerequisite
     // (canonical url BEFORE uniqueness) and the corpus-scale anonymise
@@ -2039,6 +2111,49 @@ object SparkEntry {
            UNION ALL SELECT part, 'max_ellipsis_lines', checked, v_ell FROM per
            UNION ALL SELECT part, 'min_alpha_words', checked, v_alpha FROM per)
          ORDER BY part, rule_id"""
+
+  /** DuckDB re-derivation of Spark's XxHash64 LONG specialization at
+    * seed 42 (hashLong(key, 42) chained into hashLong(seed, ·)) as a
+    * CTE chain over HUGEINT modular arithmetic — the same generated,
+    * bit-validated chain q_sampling inlines. Expects a CTE named `t`
+    * exposing a BIGINT column `v` (plus any carried columns); emits
+    * CTEs s1..s21, where s21 carries every `t` column plus `h` — the
+    * signed-BIGINT Spark hash. Splice between the `WITH t AS (...)` and
+    * the consumer by plain string concatenation (NOT s-interpolation:
+    * the SQL contains regex backslashes downstream oracles rely on).
+    */
+  private val Xxh64LongCtes: String =
+    """s1 AS (SELECT *, (CAST(v AS HUGEINT) & 18446744073709551615::HUGEINT) AS x0 FROM t),
+         s2 AS (SELECT *, (((x0 * 668265295::HUGEINT) + (((x0 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS k1 FROM s1),
+         s3 AS (SELECT *, (((k1 << 31) & 18446744073709551615::HUGEINT) | (k1 >> 33)) AS k2 FROM s2),
+         s4 AS (SELECT *, (((k2 * 2246822535::HUGEINT) + (((k2 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS k3 FROM s3),
+         s5 AS (SELECT *, xor(2870177450012600311::HUGEINT, k3) AS b0 FROM s4),
+         s6 AS (SELECT *, (((b0 << 27) & 18446744073709551615::HUGEINT) | (b0 >> 37)) AS b1 FROM s5),
+         s7 AS (SELECT *, (((((b1 * 2246822535::HUGEINT) + (((b1 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT) AS b2 FROM s6),
+         s8 AS (SELECT *, xor(b2, b2 >> 33) AS f1 FROM s7),
+         s9 AS (SELECT *, (((f1 * 668265295::HUGEINT) + (((f1 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS f2 FROM s8),
+         s10 AS (SELECT *, xor(f2, f2 >> 29) AS f3 FROM s9),
+         s11 AS (SELECT *, (((f3 * 2654435833::HUGEINT) + (((f3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS f4 FROM s10),
+         s12 AS (SELECT *, xor(f4, f4 >> 32) AS c1 FROM s11),
+         s13 AS (SELECT *, xor((c1 + 2870177450012600269::HUGEINT) & 18446744073709551615::HUGEINT, 1279370338401826588::HUGEINT) AS g1 FROM s12),
+         s14 AS (SELECT *, (((g1 << 27) & 18446744073709551615::HUGEINT) | (g1 >> 37)) AS g2 FROM s13),
+         s15 AS (SELECT *, (((((g2 * 2246822535::HUGEINT) + (((g2 * 2654435761::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT) AS g3 FROM s14),
+         s16 AS (SELECT *, xor(g3, g3 >> 33) AS h1 FROM s15),
+         s17 AS (SELECT *, (((h1 * 668265295::HUGEINT) + (((h1 * 3266489917::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h2 FROM s16),
+         s18 AS (SELECT *, xor(h2, h2 >> 29) AS h3 FROM s17),
+         s19 AS (SELECT *, (((h3 * 2654435833::HUGEINT) + (((h3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h4 FROM s18),
+         s20 AS (SELECT *, xor(h4, h4 >> 32) AS h5 FROM s19),
+         s21 AS (SELECT *, CAST(CASE WHEN h5 >= 9223372036854775808::HUGEINT THEN h5 - 18446744073709551616::HUGEINT ELSE h5 END AS BIGINT) AS h FROM s20)"""
+
+  /** The DuckDB twin of [[graft.text.TextFunctions.tokenCount]]:
+    * trim every Java-\s whitespace class from both ends, split on
+    * whitespace runs, count non-empty tokens; null/blank → 0.
+    */
+  private val TokenCountSql: String =
+    """CASE WHEN trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0
+            ELSE len(list_filter(string_split_regex(
+              trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+              '[ \t\n\v\f\r]+'), x -> x != '')) END"""
 
   def oracleSql: Map[String, String] = Map(
     "q_crm_replay" -> CrmReplayGolden,
@@ -3632,6 +3747,102 @@ object SparkEntry {
                FROM documents)
          WHERE rn <= 10
          ORDER BY source, doc_id""",
+
+    // packed-stream block map re-derived end-to-end: XXH64(doc_id, 42)
+    // HUGEINT chain for shard + order, the Spark tokenizer twin for
+    // counts, a per-shard window prefix sum for offsets
+    "q_sequence_pack" ->
+      ("""WITH t AS (SELECT doc_id, text, doc_id AS v FROM documents),
+         """ + Xxh64LongCtes + """,
+         tk AS (SELECT doc_id, h, ((h % 4) + 4) % 4 AS shard,
+             """ + TokenCountSql + """ AS n_tokens
+           FROM s21),
+         p AS (SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens + 1) OVER (PARTITION BY shard
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS "offset"
+           FROM tk)
+         SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST("offset" AS BIGINT) AS "offset",
+           CAST(floor("offset" / 128.0) AS BIGINT) AS first_block,
+           CAST(CASE WHEN n_tokens > 0
+               THEN floor(("offset" + n_tokens - 1) / 128.0)
+               ELSE floor("offset" / 128.0) END AS BIGINT) AS last_block
+         FROM p ORDER BY doc_id"""),
+
+    // mixture rates re-derived with the SAME fixed-order double
+    // arithmetic as Sampling.mixtureCopies — (budget * w) / T, least
+    // with the cap, floor + hash-coordinate fractional epoch — then
+    // graded per doc (copies) and per source (realized token total)
+    "q_source_mixing" ->
+      ("""WITH t AS (SELECT doc_id, source, text, doc_id AS v FROM documents),
+         """ + Xxh64LongCtes + """,
+         tk AS (SELECT doc_id, source,
+             ((h % 1000000000) + 1000000000) % 1000000000 AS pm,
+             """ + TokenCountSql + """ AS n_tokens
+           FROM s21),
+         tot AS (SELECT source, sum(n_tokens) AS tt FROM tk GROUP BY source),
+         rt AS (SELECT source,
+             least((30000.0 * CASE source WHEN 'src0' THEN 0.5
+                 WHEN 'src1' THEN 0.2 WHEN 'src2' THEN 0.08
+                 WHEN 'src3' THEN 0.02 ELSE 0.0 END) / CAST(tt AS DOUBLE),
+               8.0) AS rate
+           FROM tot),
+         cp AS (SELECT tk.doc_id, tk.source, tk.n_tokens,
+             CAST(floor(rate) AS BIGINT)
+               + CASE WHEN pm / 1000000000.0 < rate - floor(rate)
+                 THEN 1 ELSE 0 END AS copies
+           FROM tk JOIN rt USING (source))
+         SELECT family, k, n FROM (
+           SELECT 'doc' AS family, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS k,
+             CAST(copies AS BIGINT) AS n
+           FROM cp
+           UNION ALL
+           SELECT 'realized', source, CAST(sum(copies * n_tokens) AS BIGINT)
+           FROM cp GROUP BY source)
+         ORDER BY family, k"""),
+
+    // the same train slice, gram/context count tables, and per-position
+    // left joins as LangModel.trainCharLm/scoreCharLm; zero-position
+    // docs (null/short text) join back with zeroed features
+    "q_charlm_score" ->
+      """WITH tr AS (SELECT coalesce(text, '') AS txt FROM documents
+             WHERE doc_id % 5 = 0),
+         g AS (SELECT unnest(list_transform(generate_series(1,
+               CASE WHEN length(txt) >= 3 THEN length(txt) - 2 ELSE 0 END),
+             i -> substr(txt, i, 3))) AS gram
+           FROM tr),
+         gc AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_gram
+           FROM g GROUP BY gram),
+         cc AS (SELECT substr(gram, 1, 2) AS ctx,
+             CAST(sum(n_gram) AS BIGINT) AS n_ctx
+           FROM gc GROUP BY 1),
+         sc AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN coalesce(text, '') || ' €txt§'
+               ELSE coalesce(text, '') END AS txt
+           FROM documents),
+         d AS (SELECT doc_id, unnest(list_transform(generate_series(1,
+               CASE WHEN length(txt) >= 3 THEN length(txt) - 2 ELSE 0 END),
+             i -> substr(txt, i, 3))) AS gram
+           FROM sc),
+         j AS (SELECT d.doc_id, gc.n_gram, cc.n_ctx
+           FROM d LEFT JOIN gc USING (gram)
+             LEFT JOIN cc ON substr(d.gram, 1, 2) = cc.ctx),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(coalesce(n_gram, 0)) AS BIGINT) AS sum_gram,
+             CAST(sum(coalesce(n_ctx, 0)) AS BIGINT) AS sum_ctx,
+             CAST(count(*) FILTER (n_gram IS NULL) AS BIGINT) AS oov
+           FROM j GROUP BY doc_id)
+         SELECT dd.doc_id,
+           CAST(coalesce(a.n_pos, 0) AS BIGINT) AS n_pos,
+           CAST(coalesce(a.sum_gram, 0) AS BIGINT) AS sum_gram,
+           CAST(coalesce(a.sum_ctx, 0) AS BIGINT) AS sum_ctx,
+           CAST(coalesce(a.oov, 0) AS BIGINT) AS oov
+         FROM documents dd LEFT JOIN agg a ON a.doc_id = dd.doc_id
+         ORDER BY dd.doc_id""",
 
     "q_url_canon" ->
       """WITH m AS (

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step between a cleaned corpus and a training
+  * run: concatenate documents (plus one end-of-document separator token
+  * each) in a deterministic order and chop the stream into fixed-length
+  * blocks of `blockLen` tokens, documents crossing block boundaries
+  * (the GPT-2/3 chunking recipe — no padding waste; contrast with
+  * first-fit bin packing, which is inherently sequential and pads).
+  *
+  * The whole computation is offsets, not text: each document only needs
+  * to know where its token span starts, which is a per-shard prefix sum
+  * of (n_tokens + 1) in the deterministic order. No document bytes move
+  * until the training-shard writer consumes the map.
+  *
+  * Determinism contract (same as [[Sampling.deterministicShuffle]]):
+  * order within a shard is (xxhash64(id, seed), id), so the block map
+  * replays identically across partitioning, retries, cluster sizes and
+  * reruns. PRECONDITION: `idCol` unique.
+  *
+  * AT 10^12 ROWS: one hash-partition exchange on `shard` + a per-shard
+  * sort — the sharded form of the deterministic global shuffle
+  * (Sampling scaladoc). Shards are independent streams: pick `nShards`
+  * so a shard's rows fit a sort spill comfortably (10^9 rows/shard is
+  * fine — the sort key is 16 bytes + the offset payload); blocks are
+  * numbered per shard, so the (shard, block) pair is the global block
+  * id and no cross-shard coordination exists.
+  */
+object Packing {
+
+  /** Block map for the packed-token stream: for every document, its
+    * shard, token count, start offset in the shard's stream, and the
+    * first/last block its tokens land in.
+    *
+    * Every document contributes `n_tokens + 1` stream positions (its
+    * tokens, then one separator token — the EOS between documents, also
+    * emitted after the last document). A document's own tokens span
+    * `[offset, offset + n_tokens)`; blocks are `blockLen`-sized windows
+    * of the stream. An EMPTY document (0 tokens, e.g. null text)
+    * contributes only its separator; its first/last block is the block
+    * its separator lands in.
+    *
+    * `tokensCol` must be non-negative; nulls read as 0 (empty doc).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+      blockLen: Int, nShards: Int, seed: Long = 42L): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val reserved = Set("shard", "n_tokens", "offset", "first_block",
+      "last_block", "_h")
+    require(!df.columns.exists(reserved),
+      s"packSequences reserves ${reserved.mkString("/")}")
+    val id = col(idCol)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_h"), id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", Sampling.shardColumn(id, nShards, seed))
+      .withColumn("_h", xxhash64(id, lit(seed)))
+      .withColumn("n_tokens",
+        coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens") + 1L).over(w), lit(0L)))
+      .withColumn("first_block", floor(col("offset") / blockLen))
+      .withColumn("last_block",
+        when(col("n_tokens") > 0,
+          floor((col("offset") + col("n_tokens") - 1L) / blockLen))
+          .otherwise(floor(col("offset") / blockLen)))
+      .drop("_h")
+  }
+}

@@ -96,6 +96,67 @@ object Sampling {
     * so the result is IDENTICAL to the unsalted form (SamplingSpec pins
     * equality), for one extra shuffle of the pre-capped survivors.
     */
+  /** Source mixing (the Pile / GPT-3 recipe): given mixture weights over
+    * sources and a total token budget, each source should contribute
+    * ~`tokenBudget * weight` tokens — so each of its documents is kept
+    * `rate = budget*weight / sourceTokens` times. `rate < 1` is
+    * downsampling; `rate > 1` is deterministic UPSAMPLING (the Pile
+    * trains small high-quality sources for >1 epoch): every document
+    * gets `floor(rate)` whole copies and one more iff its hash
+    * coordinate falls under the fractional part — so the realized token
+    * count concentrates on the target, reruns are bit-stable, and
+    * growing the budget only ever ADDS copies (monotone, like
+    * [[deterministicSample]]). `maxRate` caps upsampling (unbounded
+    * epochs over a tiny source is a quality bug, not a mixture).
+    *
+    * Sources absent from `weights` get weight 0 → 0 copies (kept in the
+    * output with copies=0: drops are data, filter or audit them).
+    *
+    * Returns the input plus a `copies` column. Feed [[explodeCopies]]
+    * to materialize one row per (document, epoch).
+    *
+    * SCALE: the per-source totals frame is |sources| rows — broadcast
+    * back; the corpus is touched by exactly one aggregate scan and one
+    * map-side join. Nothing driver-side.
+    */
+  def mixtureCopies(df: DataFrame, keyCol: String, sourceCol: String,
+      tokensCol: Column, weights: Map[String, Double], tokenBudget: Long,
+      maxRate: Double = 8.0, seed: Long = 42L): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
+    require(maxRate > 0.0, s"maxRate must be positive: $maxRate")
+    require(weights.values.forall(w => w >= 0.0), weights.toString)
+    require(!df.columns.exists(Set("copies", "_t", "_rate")),
+      "mixtureCopies reserves the copies/_t/_rate column names")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokensCol.cast("long")).as("_t"))
+    val weightCol = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col(sourceCol) === k, lit(w)).otherwise(acc)
+    }
+    // fixed-order double arithmetic — (budget * w) / tokens — so an
+    // external re-derivation (the DuckDB oracle) lands on the same bits
+    val rate = least(
+      (lit(tokenBudget.toDouble) * weightCol) / col("_t").cast("double"),
+      lit(maxRate))
+    df.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("_rate", rate)
+      .withColumn("copies",
+        floor(col("_rate")).cast("long") +
+          when(coord(col(keyCol), seed) < col("_rate") - floor(col("_rate")),
+            1L).otherwise(0L))
+      .drop("_t", "_rate")
+  }
+
+  /** One row per (document, epoch 1..copies); rows with 0 copies drop.
+    * `sequence()` is bounded by [[mixtureCopies]]'s `maxRate`, so the
+    * expansion is at most maxRate× the kept corpus.
+    */
+  def explodeCopies(df: DataFrame, copiesCol: String = "copies"): DataFrame = {
+    require(!df.columns.contains("epoch"),
+      "explodeCopies reserves the epoch column name")
+    df.where(col(copiesCol) > 0L)
+      .withColumn("epoch", explode(sequence(lit(1L), col(copiesCol))))
+  }
+
   def capPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
       k: Int, saltOn: Option[Column] = None, nSalts: Int = 64,
       seed: Long = 42L): DataFrame = {

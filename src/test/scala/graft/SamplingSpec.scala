@@ -114,4 +114,48 @@ class SamplingSpec extends SparkSuite {
       .select("host", "id").as[(String, Long)].collect().toSet
     assert(saltedRepart === plain)
   }
+
+  test("mixtureCopies: exact rates give exact copies, cap engages, unweighted sources keep 0, realized tokens near target") {
+    // A: 100 docs x 1 token -> T=100; B: 1000 x 1 -> T=1000; C: 50 x 1;
+    // D unweighted. budget=400, maxRate=2.5: A rate (400*0.5)/100 = 2.0
+    // exactly, uncapped, frac 0 -> every A doc exactly 2 copies; C rate
+    // (400*0.375)/50 = 3.0 CAPPED to 2.5 (frac .5 -> 2 or 3 copies by
+    // hash); B rate (400*0.25)/1000 = 0.1 downsample.
+    val mix = (0 until 100).map(i => (s"a$i", "A")) ++
+      (0 until 1000).map(i => (s"b$i", "B")) ++
+      (0 until 50).map(i => (s"c$i", "C")) ++
+      (0 until 30).map(i => (s"d$i", "D"))
+    val df = mix.toDF("key", "src").withColumn("toks", lit(1L))
+    def copies(d: org.apache.spark.sql.DataFrame, budget: Long) =
+      Sampling.mixtureCopies(d, "key", "src", col("toks"),
+        Map("A" -> 0.5, "B" -> 0.25, "C" -> 0.375), budget, maxRate = 2.5)
+    val got = copies(df, 400L).select($"key", $"src", $"copies")
+      .as[(String, String, Long)].collect()
+    assert(got.filter(_._2 == "A").forall(_._3 == 2L))
+    assert(got.filter(_._2 == "D").forall(_._3 == 0L))
+    assert(got.filter(_._2 == "C").forall(r => r._3 == 2L || r._3 == 3L))
+    assert(got.filter(_._2 == "B").forall(r => r._3 == 0L || r._3 == 1L))
+    // realized totals concentrate on the target (1-token docs: copies
+    // sum); C's target is the CAPPED 50*2.5 = 125, not budget*w = 150
+    val cSum = got.filter(_._2 == "C").map(_._3).sum
+    val bSum = got.filter(_._2 == "B").map(_._3).sum // target 100
+    assert(math.abs(cSum - 125L) <= 15, cSum.toString)
+    assert(math.abs(bSum - 100L) <= 30, bSum.toString)
+    // deterministic across partitioning
+    assert(copies(df.repartition(13), 400L).select($"key", $"copies")
+      .as[(String, Long)].collect().toMap ===
+      got.map(r => r._1 -> r._3).toMap)
+    // growing the budget never removes a copy (monotone, like
+    // deterministicSample supersets)
+    val bigger = copies(df, 700L)
+      .select($"key", $"copies").as[(String, Long)].collect().toMap
+    got.foreach { case (k, _, c) => assert(bigger(k) >= c, k) }
+  }
+
+  test("explodeCopies: one row per epoch, zero-copy rows drop") {
+    val df = Seq(("x", 3L), ("y", 1L), ("z", 0L)).toDF("key", "copies")
+    val got = Sampling.explodeCopies(df)
+      .select($"key", $"epoch").as[(String, Long)].collect().toSet
+    assert(got === Set(("x", 1L), ("x", 2L), ("x", 3L), ("y", 1L)))
+  }
 }
