@@ -259,4 +259,37 @@ class PhysicalPlanSpec extends SparkSuite {
     assert(byName("_uh_0") === LongType, stage.schema.treeString)
     assert(!byName.keys.exists(_.startsWith("_u_")), stage.schema.treeString)
   }
+
+  test("packSequences: exactly one exchange (shard hash-partitioning) + per-shard sort — the block map never re-shuffles") {
+    val docs = spark.range(2000).select($"id".as("doc_id"),
+      concat(lit("w "), $"id").as("text"))
+    val plan = planOf(graft.text.Packing.packSequences(docs, "doc_id",
+      graft.text.TextFunctions.tokenCount(col("text")), 128, 8))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("rangepartitioning"),
+      "block map must not global-sort") // the window is per-shard
+    assert(plan.contains("Window"), plan.take(400))
+  }
+
+  test("mixtureCopies: totals join back as a broadcast; the corpus stream never sort-merge-joins or re-shuffles after the agg") {
+    val docs = spark.range(2000).select($"id".as("doc_id"),
+      concat(lit("s"), pmod($"id", lit(7))).as("source"), lit(3L).as("toks"))
+    val plan = planOf(graft.text.Sampling.mixtureCopies(docs, "doc_id",
+      "source", col("toks"), Map("s0" -> 0.5, "s1" -> 0.5), 1000L))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "totals join fell back to SMJ")
+  }
+
+  test("scoreCharLm: model and context lookups are broadcast joins (the LM is alphabet-bounded); no sort-merge join anywhere") {
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      concat(lit("abcabc"), $"id").as("text"))
+    val model = graft.text.LangModel.trainCharLm(docs, "text", n = 3)
+    val plan = planOf(graft.text.LangModel.scoreCharLm(
+      docs, "doc_id", "text", model, n = 3))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "model join fell back to SMJ")
+    // the only stream-side exchange is the final per-doc aggregate; the
+    // model/ctx/vocab subtrees may shuffle internally (they are
+    // model-sized), so pin the join strategy, not a global count
+  }
 }
