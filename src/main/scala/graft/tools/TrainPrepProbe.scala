@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.{LangModel, Packing, Sampling, TextFunctions}
+
+/** Scaling probe (dev tool) for the round-7 train-prep operators, at
+  * corpus ×1 vs ×10 on the same host:
+  *
+  *  - [[Packing.packSequences]]: a per-shard prefix sum — pure linear;
+  *    ×10 docs should ride the job floor.
+  *  - [[Sampling.mixtureCopies]] + [[Sampling.explodeCopies]]: one
+  *    aggregate + one broadcast join + a bounded explode — linear.
+  *  - [[LangModel.scoreCharLm]]: the explode is per CHARACTER, so cost
+  *    tracks total scored text; model fixed across levels (it is
+  *    alphabet-bounded, not corpus-bounded).
+  *
+  * Same protocol as [[SubdocProbe]]: one discarded warmup rep per
+  * (operator, level), then best-of-N wall + output cardinality.
+  */
+object TrainPrepProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).cache()
+    docs.count()
+
+    def level(tag: String, d: DataFrame)(run: DataFrame => Long): Unit = {
+      val n = d.count()
+      run(d) // discarded warmup
+      var best = Double.MaxValue
+      var out = -1L
+      for (_ <- 0 until reps) {
+        val t0 = System.nanoTime()
+        out = run(d)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[probe] $tag%-16s docs=$n%6d wall=$best%6.2fs out=$out")
+    }
+
+    val x1 = docs.where(col("doc_id") < 500)
+
+    def packRun(d: DataFrame): Long =
+      Packing.packSequences(d, "doc_id",
+          TextFunctions.tokenCount(col("text")), blockLen = 128, nShards = 8)
+        .agg(max(col("last_block"))).head.getLong(0)
+    level("pack_x1", x1)(packRun)
+    level("pack_x10", docs)(packRun)
+
+    val weights = Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.08,
+      "src3" -> 0.02)
+    def mixRun(d: DataFrame): Long =
+      Sampling.explodeCopies(Sampling.mixtureCopies(d, "doc_id", "source",
+          TextFunctions.tokenCount(col("text")), weights,
+          tokenBudget = 300000L, maxRate = 8.0))
+        .count()
+    level("mix_x1", x1)(mixRun)
+    level("mix_x10", docs)(mixRun)
+
+    // model FIXED across levels (trained once on the ×1 slice's %5
+    // subset), scored corpus grows 10× — cost should track scored chars
+    val model = LangModel.trainCharLm(
+      x1.where(pmod(col("doc_id"), lit(5)) === 0), "text", n = 3)
+      .cache()
+    println(s"[probe] model grams: ${model.count()}")
+    def lmRun(d: DataFrame): Long =
+      LangModel.scoreCharLm(d, "doc_id", "text", model, n = 3)
+        .agg(sum(col("sum_gram"))).head.getLong(0)
+    level("charlm_x1", x1)(lmRun)
+    level("charlm_x10", docs)(lmRun)
+    spark.stop()
+  }
+}
