@@ -1465,6 +1465,35 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // the materialization map for the packed stream: one row per
+    // (doc, block) with the doc-local token sub-range — the frame a
+    // block writer groups by (shard, block); boundary-crossing docs
+    // emit one row per spanned block, oracle-graded on the exact slice
+    // arithmetic
+    "q_pack_slices" -> ((s, dir) => {
+      import graft.text.{Packing, TextFunctions => TF}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val packed = Packing.packSequences(docs, "doc_id",
+        TF.tokenCount(col("text")), blockLen = 128, nShards = 4)
+      Packing.blockSlices(packed, blockLen = 128)
+        .select(col("doc_id"), col("shard"), col("block"),
+          col("tok_start"), col("tok_len"))
+        .stableSorted("doc_id", "block")
+    }),
+
+    // deterministic train/val/test split (80/10/10 by key hash):
+    // same-key rows split together, assignment replays across
+    // partitioning and reruns; the oracle reproduces the when-chain's
+    // RUNNING cumulative thresholds ((0.8 + 0.1), not 0.9 — the double
+    // sums must be the same bits)
+    "q_split_assign" -> ((s, dir) => {
+      import graft.text.Sampling
+      t(s, dir, "documents").select(col("doc_id"),
+          Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .stableSorted("doc_id")
+    }),
+
     // Source mixing (the Pile / GPT-3 mixture-weights recipe): per-source
     // sampling rates derived from mixture weights + a 30k-token budget —
     // src0's rate saturates the maxRate=8 cap, src1/src2 upsample with a
@@ -3771,6 +3800,51 @@ object SparkEntry {
                THEN floor(("offset" + n_tokens - 1) / 128.0)
                ELSE floor("offset" / 128.0) END AS BIGINT) AS last_block
          FROM p ORDER BY doc_id"""),
+
+    // the q_sequence_pack block map exploded into per-(doc, block) token
+    // sub-ranges with the same greatest/least slice arithmetic
+    "q_pack_slices" ->
+      ("""WITH t AS (SELECT doc_id, text, doc_id AS v FROM documents),
+         """ + Xxh64LongCtes + """,
+         tk AS (SELECT doc_id, h, ((h % 4) + 4) % 4 AS shard,
+             """ + TokenCountSql + """ AS n_tokens
+           FROM s21),
+         p AS (SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens + 1) OVER (PARTITION BY shard
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS "offset"
+           FROM tk),
+         pb AS (SELECT doc_id, shard, n_tokens, "offset",
+             CAST(floor("offset" / 128.0) AS BIGINT) AS fb,
+             CAST(CASE WHEN n_tokens > 0
+                 THEN floor(("offset" + n_tokens - 1) / 128.0)
+                 ELSE floor("offset" / 128.0) END AS BIGINT) AS lb
+           FROM p),
+         ex AS (SELECT doc_id, shard, n_tokens, "offset",
+             unnest(generate_series(fb, lb)) AS block
+           FROM pb)
+         SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(block AS BIGINT) AS block,
+           CAST(greatest(0, block * 128 - "offset") AS BIGINT) AS tok_start,
+           CAST(least(n_tokens, (block + 1) * 128 - "offset")
+             - greatest(0, block * 128 - "offset") AS BIGINT) AS tok_len
+         FROM ex ORDER BY doc_id, block"""),
+
+    // the split thresholds written as the SAME running double sums the
+    // when-chain evaluates: 0.8, then (0.8 + 0.1) — NOT the decimal 0.9
+    "q_split_assign" ->
+      ("""WITH t AS (SELECT doc_id, doc_id AS v FROM documents),
+         """ + Xxh64LongCtes + """,
+         hx AS (SELECT doc_id,
+             (((h % 1000000000) + 1000000000) % 1000000000)
+               / 1000000000.0 AS c
+           FROM s21)
+         SELECT doc_id,
+           CASE WHEN c < 0.8 THEN 'train'
+                WHEN c < (0.8 + 0.1) THEN 'val'
+                ELSE 'test' END AS split
+         FROM hx ORDER BY doc_id"""),
 
     // mixture rates re-derived with the SAME fixed-order double
     // arithmetic as Sampling.mixtureCopies — (budget * w) / T, least

@@ -70,4 +70,31 @@ object Packing {
           .otherwise(floor(col("offset") / blockLen)))
       .drop("_h")
   }
+
+  /** Materialization map for [[packSequences]] output: one row per
+    * (document, block) with the doc-local token sub-range that block
+    * takes — `tok_start` (0-based index into the doc's tokens) and
+    * `tok_len`. A block writer groups these by (shard, block) and
+    * concatenates slices in `offset` order; no step needs the whole
+    * doc stream, so assembly parallelizes per block.
+    *
+    * An empty document emits one row with tok_len = 0 (its separator
+    * placeholder). Expansion is bounded: a doc emits
+    * `ceil(n_tokens / blockLen) + 1` rows at most — the same order as
+    * the corpus itself.
+    */
+  def blockSlices(packed: DataFrame, blockLen: Int): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
+    require(!packed.columns.exists(Set("block", "tok_start", "tok_len")),
+      "blockSlices reserves the block/tok_start/tok_len column names")
+    packed
+      .withColumn("block",
+        explode(sequence(col("first_block"), col("last_block"))))
+      .withColumn("tok_start",
+        greatest(lit(0L), col("block") * blockLen - col("offset")))
+      .withColumn("tok_len",
+        least(col("n_tokens"),
+          (col("block") + 1L) * blockLen - col("offset"))
+          - col("tok_start"))
+  }
 }

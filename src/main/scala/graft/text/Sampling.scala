@@ -79,6 +79,35 @@ object Sampling {
     pmod(xxhash64(keyCol, lit(seed)), lit(nShards.toLong)).cast("int")
   }
 
+  /** Deterministic named split (train/val/test): the unit interval is
+    * cut at the cumulative weights, and a row's split is the segment
+    * its hash coordinate falls in. Same-key rows split together;
+    * partitioning/rerun/cluster-size invariant; REBALANCING-SAFE in the
+    * prefix sense — growing an early split's weight only ever steals
+    * rows from later splits, never reshuffles within. Weights must sum
+    * to 1 (±1e-9); the last split also absorbs the boundary, so
+    * assignment is total.
+    */
+  def splitColumn(keyCol: Column, splits: Seq[(String, Double)],
+      seed: Long = 42L): Column = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0.0), splits.toString)
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val c = coord(keyCol, seed)
+    // when-chain in declared order against a RUNNING double sum — an
+    // external re-derivation must reproduce the same literal additions
+    // ((0.8 + 0.1), not 0.9) or boundary rows flip
+    var cum = 0.0
+    var out: Option[Column] = None
+    splits.dropRight(1).foreach { case (name, w) =>
+      cum += w
+      val branch = c < cum
+      out = Some(out.fold(when(branch, name))(_.when(branch, name)))
+    }
+    out.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+  }
+
   /** Exact per-key top-k cap — the Gopher/FineWeb "at most k documents
     * per host" rule: within each `keyCols` group, keep the first k rows
     * under `order` and drop the rest. `order` MUST be a total order

@@ -59,6 +59,33 @@ class PackingSpec extends SparkSuite {
     assert(got.map(r => r._3).max < total)
   }
 
+  test("blockSlices: per-doc slices cover exactly the doc's tokens, contiguous per block, empty docs emit one zero-slice") {
+    val packed = pack(docs, blockLen = 10, nShards = 2)
+    val slices = graft.text.Packing.blockSlices(packed, blockLen = 10)
+      .select($"doc_id", $"shard", $"block", $"tok_start", $"tok_len",
+        $"n_tokens", $"offset")
+      .as[(Long, Int, Long, Long, Long, Long, Long)].collect()
+    // coverage: a doc's slice lengths sum to its token count, slices
+    // are contiguous in token space starting at 0
+    slices.groupBy(_._1).foreach { case (id, ss) =>
+      val inOrder = ss.sortBy(_._3)
+      assert(inOrder.map(_._5).sum === inOrder.head._6, s"doc $id")
+      var nxt = 0L
+      inOrder.foreach { case (_, _, _, st, ln, _, _) =>
+        assert(st === nxt, s"doc $id slice gap"); nxt = st + ln
+      }
+    }
+    // no block receives more than blockLen tokens across all its docs
+    slices.groupBy(s => (s._2, s._3)).foreach { case (blk, ss) =>
+      assert(ss.map(_._5).sum <= 10L, blk.toString)
+    }
+    // empty docs: exactly one slice row, zero length
+    Seq(0L, 7L).foreach { id =>
+      val ss = slices.filter(_._1 == id)
+      assert(ss.length === 1 && ss.head._5 === 0L, s"doc $id")
+    }
+  }
+
   test("block map is partitioning-invariant and replayable") {
     def run(df: org.apache.spark.sql.DataFrame) =
       pack(df, blockLen = 7, nShards = 4)

@@ -152,6 +152,27 @@ class SamplingSpec extends SparkSuite {
     got.foreach { case (k, _, c) => assert(bigger(k) >= c, k) }
   }
 
+  test("splitColumn: total, invariant, near-weight fractions, prefix-monotone rebalance") {
+    def assign(d: org.apache.spark.sql.DataFrame,
+        splits: Seq[(String, Double)]) =
+      d.select($"id", Sampling.splitColumn($"key", splits).as("s"))
+        .as[(Long, String)].collect().toMap
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = assign(docs.coalesce(1), splits)
+    assert(a === assign(docs.repartition(9), splits))
+    assert(a.size === 20000 && a.values.forall(Set("train", "val", "test")))
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 20000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.02, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.02, frac.toString)
+    // growing train's share only steals from later splits: every row
+    // that was train stays train
+    val b = assign(docs, Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    a.foreach { case (id, s) => if (s == "train") assert(b(id) == "train") }
+    // degenerate weights stay total
+    val c = assign(docs, Seq("all" -> 1.0, "none" -> 0.0))
+    assert(c.values.forall(_ == "all"))
+  }
+
   test("explodeCopies: one row per epoch, zero-copy rows drop") {
     val df = Seq(("x", 3L), ("y", 1L), ("z", 0L)).toDF("key", "copies")
     val got = Sampling.explodeCopies(df)
