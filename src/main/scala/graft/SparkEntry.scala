@@ -1494,6 +1494,40 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // tokenizer-training statistics: exact global top-10 vocabulary by
+    // (count DESC, token ASC) — k chosen so the cut falls INSIDE a count
+    // tie (merge/slow both at the boundary count), grading the
+    // deterministic tie-break; plans as TakeOrderedAndProject
+    // (per-partition top-k, driver merge), never a global sort
+    "q_vocab_topk" -> ((s, dir) => {
+      import graft.text.Vocab
+      Vocab.topTokens(t(s, dir, "documents"), "text", 10)
+        .stableSorted("token")
+    }),
+
+    // one BPE merge step's candidate ranking: top-20 adjacent token
+    // pairs (k cuts through a 7-pair count-tie run — the alphabetic
+    // boundary is graded), pairs built inside the token array before the
+    // explode (one corpus scan, no positional self-join)
+    "q_bpe_pairs" -> ((s, dir) => {
+      import graft.text.Vocab
+      Vocab.topPairs(t(s, dir, "documents"), "text", 20)
+        .stableSorted("pair")
+    }),
+
+    // CCNet-style per-source terciles over a discrete score (n_chars):
+    // the per-group value histogram is cumsum'd and broadcast back —
+    // the corpus is never sorted; ties share a bucket by construction
+    "q_score_buckets" -> ((s, dir) => {
+      import graft.text.Sampling
+      Sampling.quantileBuckets(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "n_chars", Seq("source"), k = 3)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"))
+        .stableSorted("doc_id")
+    }),
+
     // Source mixing (the Pile / GPT-3 mixture-weights recipe): per-source
     // sampling rates derived from mixture weights + a 30k-token budget —
     // src0's rate saturates the maxRate=8 cap, src1/src2 upsample with a
@@ -3845,6 +3879,46 @@ object SparkEntry {
                 WHEN c < (0.8 + 0.1) THEN 'val'
                 ELSE 'test' END AS split
          FROM hx ORDER BY doc_id"""),
+
+    // exact global vocabulary: the whitespace-tokenizer twin, count per
+    // token, top 50 by (n DESC, token ASC) — ASCII word-soup tokens, so
+    // the two engines' string orders agree
+    "q_vocab_topk" ->
+      ("""WITH toks AS (SELECT unnest(list_filter(string_split_regex(
+           trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+           '[ \t\n\v\f\r]+'), t -> t != '')) AS token FROM documents),
+         c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+         SELECT token, CAST(n AS BIGINT) AS n FROM c
+         ORDER BY n DESC, token LIMIT 10"""),
+
+    // adjacent-pair counts from the same token arrays: ws[i] || ' ' ||
+    // ws[i+1] for i in [1, len-1], then the same top-50 ranking
+    "q_bpe_pairs" ->
+      ("""WITH tk AS (SELECT list_filter(string_split_regex(
+           trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+           '[ \t\n\v\f\r]+'), t -> t != '') AS ws FROM documents),
+         p AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1])) AS pair
+           FROM tk WHERE len(ws) >= 2),
+         c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+         SELECT pair, CAST(n AS BIGINT) AS n FROM c
+         ORDER BY n DESC, pair LIMIT 20"""),
+
+    // the histogram-cumsum bucket map re-derived with the same integer
+    // arithmetic: bucket = (3 * rows_below_value) div group_total
+    "q_score_buckets" ->
+      ("""WITH h AS (SELECT source, n_chars, count(*) AS n
+           FROM documents GROUP BY source, n_chars),
+         c AS (SELECT source, n_chars,
+             coalesce(sum(n) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             sum(n) OVER (PARTITION BY source) AS total
+           FROM h)
+         SELECT d.doc_id, d.source, d.n_chars,
+           CAST((c.below * 3) // c.total AS INT) AS bucket
+         FROM documents d
+         JOIN c ON d.source = c.source AND d.n_chars = c.n_chars
+         ORDER BY d.doc_id"""),
 
     // mixture rates re-derived with the SAME fixed-order double
     // arithmetic as Sampling.mixtureCopies — (budget * w) / T, least

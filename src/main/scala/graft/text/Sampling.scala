@@ -108,6 +108,45 @@ object Sampling {
     out.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
   }
 
+  /** Exact equal-frequency bucketing for DISCRETE scores — the CCNet
+    * head/middle/tail recipe (Wenzek et al. 2020 cut corpora into
+    * perplexity terciles per language; here per `byCols` group, k
+    * buckets, any integer-valued score). Histogram-based, so the corpus
+    * is never sorted: one groupBy on (group, score) builds the per-group
+    * value histogram, a cumulative window runs over THAT histogram (its
+    * size is distinct score values per group — bounded for discretized
+    * scores, which is this recipe's shape; do NOT feed raw doubles), and
+    * the bucket map broadcasts back onto the corpus.
+    *
+    * `bucket(v) = (k * rows_below_v) div group_total ∈ [0, k)` — exact
+    * integer arithmetic, rank cuts fall on value boundaries, so ties
+    * always share a bucket and realized bucket sizes are equal up to tie
+    * mass (a value holding more than 1/k of a group leaves later buckets
+    * empty — that is the data speaking, not a bug). With distinct scores
+    * and group size divisible by k, buckets are exactly equal.
+    */
+  def quantileBuckets(df: DataFrame, scoreCol: String, byCols: Seq[String],
+      k: Int, out: String = "bucket"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(!df.columns.contains(out), s"output column exists: $out")
+    require(!df.columns.exists(Set("_n", "_below", "_total")),
+      "quantileBuckets reserves the _n/_below/_total column names")
+    import org.apache.spark.sql.expressions.Window
+    val gb = byCols.map(col)
+    val hist = df.groupBy(gb :+ col(scoreCol): _*)
+      .agg(count(lit(1)).as("_n"))
+    val wCum = Window.partitionBy(gb: _*).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gb: _*)
+    val buckets = hist
+      .withColumn("_below", coalesce(sum(col("_n")).over(wCum), lit(0L)))
+      .withColumn("_total", sum(col("_n")).over(wTot))
+      .withColumn(out,
+        expr(s"CAST((_below * ${k}L) DIV _total AS INT)"))
+      .select(gb :+ col(scoreCol) :+ col(out): _*)
+    df.join(broadcast(buckets), byCols :+ scoreCol)
+  }
+
   /** Exact per-key top-k cap — the Gopher/FineWeb "at most k documents
     * per host" rule: within each `keyCols` group, keep the first k rows
     * under `order` and drop the rest. `order` MUST be a total order

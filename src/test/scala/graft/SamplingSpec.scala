@@ -173,6 +173,37 @@ class SamplingSpec extends SparkSuite {
     assert(c.values.forall(_ == "all"))
   }
 
+  test("quantileBuckets: exact rank cuts, ties share a bucket, per-group independence, invariance") {
+    import org.apache.spark.sql.DataFrame
+    def buckets(d: DataFrame, k: Int): Map[(String, Long), Int] =
+      Sampling.quantileBuckets(d, "score", Seq("g"), k)
+        .select($"g", $"id", $"bucket").as[(String, Long, Int)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // group A: 6 distinct scores, k=3 → exactly 2 per bucket;
+    // group B: a fat tie (score 5 × 4 rows) straddling the 1/3 cut —
+    // the whole tie lands in ONE bucket (value-boundary cuts)
+    val df = (Seq(("A", 1L, 10), ("A", 2L, 20), ("A", 3L, 30),
+      ("A", 4L, 40), ("A", 5L, 50), ("A", 6L, 60)) ++
+      Seq(("B", 10L, 1), ("B", 11L, 5), ("B", 12L, 5), ("B", 13L, 5),
+        ("B", 14L, 5), ("B", 15L, 9))).toDF("g", "id", "score")
+    val got = buckets(df, 3)
+    assert(got(("A", 1L)) === 0 && got(("A", 2L)) === 0)
+    assert(got(("A", 3L)) === 1 && got(("A", 4L)) === 1)
+    assert(got(("A", 5L)) === 2 && got(("A", 6L)) === 2)
+    // B: below(1)=0 → 0; below(5)=1 → (1*3) div 6 = 0 for ALL four
+    // tied rows; below(9)=5 → (5*3) div 6 = 2 (bucket 1 empty: tie mass)
+    assert(got(("B", 10L)) === 0)
+    Seq(11L, 12L, 13L, 14L).foreach(i => assert(got(("B", i)) === 0))
+    assert(got(("B", 15L)) === 2)
+    // k=1 → everything bucket 0; partitioning invariance
+    assert(buckets(df, 1).values.forall(_ === 0))
+    assert(buckets(df.repartition(7), 3) === got)
+    // the bucket map joins back broadcast (histogram-sized build side)
+    val plan = Sampling.quantileBuckets(df, "score", Seq("g"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("explodeCopies: one row per epoch, zero-copy rows drop") {
     val df = Seq(("x", 3L), ("y", 1L), ("z", 0L)).toDF("key", "copies")
     val got = Sampling.explodeCopies(df)
