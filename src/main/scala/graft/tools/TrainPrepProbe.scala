@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{LangModel, Packing, Sampling, TextFunctions}
+import graft.text.{LangModel, Packing, Sampling, TextFunctions, Vocab}
 
 /** Scaling probe (dev tool) for the round-7 train-prep operators, at
   * corpus ×1 vs ×10 on the same host:
@@ -14,6 +14,13 @@ import graft.text.{LangModel, Packing, Sampling, TextFunctions}
   *  - [[LangModel.scoreCharLm]]: the explode is per CHARACTER, so cost
   *    tracks total scored text; model fixed across levels (it is
   *    alphabet-bounded, not corpus-bounded).
+  *  - [[Packing.blockSlices]]: the packed map exploded per (doc, block)
+  *    — bounded expansion, linear in corpus tokens.
+  *  - [[Sampling.splitColumn]]: one hash comparison per row — the floor.
+  *  - [[Vocab.topTokens]]/[[Vocab.topPairs]]: explode linear in tokens,
+  *    shuffle vocabulary-sized, top-k take-ordered.
+  *  - [[Sampling.quantileBuckets]]: histogram aggregate + broadcast
+  *    join-back — linear scan, shuffle = distinct (group, score) values.
   *
   * Same protocol as [[SubdocProbe]]: one discarded warmup rep per
   * (operator, level), then best-of-N wall + output cardinality.
@@ -73,6 +80,34 @@ object TrainPrepProbe {
         .agg(sum(col("sum_gram"))).head.getLong(0)
     level("charlm_x1", x1)(lmRun)
     level("charlm_x10", docs)(lmRun)
+
+    def slicesRun(d: DataFrame): Long =
+      Packing.blockSlices(
+        Packing.packSequences(d, "doc_id",
+          TextFunctions.tokenCount(col("text")), blockLen = 128,
+          nShards = 8), blockLen = 128).count()
+    level("slices_x1", x1)(slicesRun)
+    level("slices_x10", docs)(slicesRun)
+
+    def splitRun(d: DataFrame): Long =
+      d.select(Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+        .where(col("s") === "train").count()
+    level("split_x1", x1)(splitRun)
+    level("split_x10", docs)(splitRun)
+
+    def vocabRun(d: DataFrame): Long =
+      Vocab.topTokens(d, "text", 1000).count() +
+        Vocab.topPairs(d, "text", 1000).count()
+    level("vocab_x1", x1)(vocabRun)
+    level("vocab_x10", docs)(vocabRun)
+
+    def bucketRun(d: DataFrame): Long =
+      Sampling.quantileBuckets(d.withColumn("len", length(col("text"))),
+          "len", Seq("source"), k = 3)
+        .where(col("bucket") === 2).count()
+    level("buckets_x1", x1)(bucketRun)
+    level("buckets_x10", docs)(bucketRun)
     spark.stop()
   }
 }
