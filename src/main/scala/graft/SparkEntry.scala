@@ -1528,6 +1528,33 @@ object SparkEntry {
         .stableSorted("doc_id")
     }),
 
+    // DSIR importance-weighting integer core (Xie et al. 2023): hashed
+    // unigram+bigram bucket counts (64 buckets — collisions are real and
+    // graded) for the raw corpus (sources outside src0/src1), dotted
+    // against the target and raw corpus bucket tables. The log-space
+    // weight itself is spec-pinned (ImportanceSpec), not hash-graded —
+    // this row grades the hashing, collision structure, and join core
+    "q_dsir_features" -> ((s, dir) => {
+      import graft.text.Importance
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val isTarget = col("source").isin("src0", "src1")
+      val tf = Importance.hashedNgramCounts(
+        docs.where(isTarget), "doc_id", "text", nBuckets = 64)
+      val rf = Importance.hashedNgramCounts(
+        docs.where(!isTarget), "doc_id", "text", nBuckets = 64)
+      val tt = Importance.bucketTotals(tf).withColumnRenamed("total", "_t")
+      val rt = Importance.bucketTotals(rf).withColumnRenamed("total", "_r")
+      rf.join(broadcast(tt), Seq("bucket"), "left")
+        .join(broadcast(rt), Seq("bucket"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_grams"),
+          count(lit(1)).as("n_buckets"),
+          sum(col("cnt") * coalesce(col("_t"), lit(0L))).as("dot_target"),
+          sum(col("cnt") * coalesce(col("_r"), lit(0L))).as("dot_raw"))
+        .stableSorted("doc_id")
+    }),
+
     // Source mixing (the Pile / GPT-3 mixture-weights recipe): per-source
     // sampling rates derived from mixture weights + a 30k-token budget —
     // src0's rate saturates the maxRate=8 cap, src1/src2 upsample with a
@@ -2207,6 +2234,60 @@ object SparkEntry {
          s19 AS (SELECT *, (((h3 * 2654435833::HUGEINT) + (((h3 * 374761393::HUGEINT) & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS h4 FROM s18),
          s20 AS (SELECT *, xor(h4, h4 >> 32) AS h5 FROM s19),
          s21 AS (SELECT *, CAST(CASE WHEN h5 >= 9223372036854775808::HUGEINT THEN h5 - 18446744073709551616::HUGEINT ELSE h5 END AS BIGINT) AS h FROM s20)"""
+
+  /** DuckDB port of Spark's XxHash64 over a STRING column (seed 42,
+    * byte-exact, HUGEINT modular arithmetic): expects a CTE
+    * `src(k, s)` (k an opaque struct key, s the string) and yields
+    * `x_out(k, h)` with h = xxhash64(s) as BIGINT. Shared by
+    * q_fingerprint and q_dsir_features.
+    */
+  private val Xxh64StrCtes: String =
+    """ x_b AS (SELECT k, hex(encode(s)) AS hx,
+     CAST(octet_length(encode(s)) AS BIGINT) AS n FROM src),
+ x_bs AS (SELECT k, n, list_transform(generate_series(1, CAST(n AS INT)), i ->
+     CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1 AS HUGEINT) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bs
+   FROM x_b),
+ x_st AS (SELECT k, n, bs,
+     list_reduce(list_prepend(
+       {'w1': 6983438078262162944::HUGEINT, 'w2': 14029467366897019769::HUGEINT,
+         'w3': 42::HUGEINT, 'w4': 7046029288634856867::HUGEINT},
+       list_transform(generate_series(1, CAST(n // 32 AS INT)), t ->
+         {'w1': (bs[(32*(t-1)) + 1] * 1::HUGEINT + bs[(32*(t-1)) + 2] * 256::HUGEINT + bs[(32*(t-1)) + 3] * 65536::HUGEINT + bs[(32*(t-1)) + 4] * 16777216::HUGEINT + bs[(32*(t-1)) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)) + 8] * 72057594037927936::HUGEINT),
+           'w2': (bs[(32*(t-1)+8) + 1] * 1::HUGEINT + bs[(32*(t-1)+8) + 2] * 256::HUGEINT + bs[(32*(t-1)+8) + 3] * 65536::HUGEINT + bs[(32*(t-1)+8) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+8) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+8) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+8) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+8) + 8] * 72057594037927936::HUGEINT),
+           'w3': (bs[(32*(t-1)+16) + 1] * 1::HUGEINT + bs[(32*(t-1)+16) + 2] * 256::HUGEINT + bs[(32*(t-1)+16) + 3] * 65536::HUGEINT + bs[(32*(t-1)+16) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+16) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+16) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+16) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+16) + 8] * 72057594037927936::HUGEINT),
+           'w4': (bs[(32*(t-1)+24) + 1] * 1::HUGEINT + bs[(32*(t-1)+24) + 2] * 256::HUGEINT + bs[(32*(t-1)+24) + 3] * 65536::HUGEINT + bs[(32*(t-1)+24) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+24) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+24) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+24) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+24) + 8] * 72057594037927936::HUGEINT)})),
+       (a, s) -> {'w1': ((((((((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w2': ((((((((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w3': ((((((((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w4': ((((((((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)}) AS v
+   FROM x_bs),
+ x_h1 AS (SELECT k, n, bs,
+     ((CASE WHEN n >= 32 THEN (((((xor(((((((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)
+            ELSE 2870177450012600303::HUGEINT END) + n) & 18446744073709551615::HUGEINT AS h1
+   FROM x_st),
+ x_h2 AS (SELECT k, n, bs,
+     list_reduce(list_prepend(h1,
+       list_transform(generate_series(1, CAST((n % 32) // 8 AS INT)), t ->
+         (bs[(32*(n//32) + 8*(t-1)) + 1] * 1::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 2] * 256::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 3] * 65536::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 4] * 16777216::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 5] * 4294967296::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 6] * 1099511627776::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 7] * 281474976710656::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 8] * 72057594037927936::HUGEINT))),
+       (a, w) -> (((((((((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) << 27) & 18446744073709551615::HUGEINT) | ((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) >> 37))) * 2246822535::HUGEINT + (((((((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) << 27) & 18446744073709551615::HUGEINT) | ((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) >> 37))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)) AS h2,
+     32*(n//32) + 8*((n % 32)//8) AS o4
+   FROM x_h1),
+ x_h3 AS (SELECT k, n, bs,
+     CASE WHEN (n % 8) >= 4
+          THEN (((((((((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) << 23) & 18446744073709551615::HUGEINT) | ((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) >> 41))) * 668265295::HUGEINT + (((((((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) << 23) & 18446744073709551615::HUGEINT) | ((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) >> 41))) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) + 1609587929392839161::HUGEINT) & 18446744073709551615::HUGEINT
+          ELSE h2 END AS h3
+   FROM x_h2),
+ x_h4 AS (SELECT k,
+     list_reduce(list_prepend(h3,
+       list_transform(generate_series(1, CAST(n % 4 AS INT)), t ->
+         bs[CAST(n - (n % 4) AS INT) + t])),
+       (a, b) -> (((((((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) << 11) & 18446744073709551615::HUGEINT) | ((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) >> 53))) * 2246822535::HUGEINT + (((((((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) << 11) & 18446744073709551615::HUGEINT) | ((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) >> 53))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) AS h4
+   FROM x_h3),
+ x_a1 AS (SELECT k, (((xor(h4, h4 >> 33)) * 668265295::HUGEINT + (((xor(h4, h4 >> 33)) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS a2 FROM x_h4),
+ x_a2 AS (SELECT k, (((xor(a2, a2 >> 29)) * 2654435833::HUGEINT + (((xor(a2, a2 >> 29)) * 374761393::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS a4 FROM x_a1),
+ x_out AS (SELECT k,
+     CAST(CASE WHEN xor(a4, a4 >> 32) >= 9223372036854775808::HUGEINT
+               THEN xor(a4, a4 >> 32) - 18446744073709551616::HUGEINT
+               ELSE xor(a4, a4 >> 32) END AS BIGINT) AS h
+   FROM x_a2)"""
 
   /** The DuckDB twin of [[graft.text.TextFunctions.tokenCount]]:
     * trim every Java-\s whitespace class from both ends, split on
@@ -3201,7 +3282,7 @@ object SparkEntry {
     // XXH64-over-UTF-8-bytes re-derived in HUGEINT SQL (see the query
     // comment; generator: tools/gen_xxh64_sql.py)
     "q_fingerprint" ->
-      """WITH docs0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      ("""WITH docs0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
  canon AS (SELECT doc_id,
      regexp_replace(lower(trim(text)), '[ \t\n\v\f\r]+', ' ', 'g') AS c
    FROM docs0),
@@ -3224,56 +3305,11 @@ object SparkEntry {
    JOIN sh ON sh.doc_id = d.doc_id WHERE len(sh.s) = 0
  ),
  src AS (SELECT {'d': did, 'kind': kind} AS k, s FROM units),
- x_b AS (SELECT k, hex(encode(s)) AS hx,
-     CAST(octet_length(encode(s)) AS BIGINT) AS n FROM src),
- x_bs AS (SELECT k, n, list_transform(generate_series(1, CAST(n AS INT)), i ->
-     CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1 AS HUGEINT) * 16
-       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bs
-   FROM x_b),
- x_st AS (SELECT k, n, bs,
-     list_reduce(list_prepend(
-       {'w1': 6983438078262162944::HUGEINT, 'w2': 14029467366897019769::HUGEINT,
-         'w3': 42::HUGEINT, 'w4': 7046029288634856867::HUGEINT},
-       list_transform(generate_series(1, CAST(n // 32 AS INT)), t ->
-         {'w1': (bs[(32*(t-1)) + 1] * 1::HUGEINT + bs[(32*(t-1)) + 2] * 256::HUGEINT + bs[(32*(t-1)) + 3] * 65536::HUGEINT + bs[(32*(t-1)) + 4] * 16777216::HUGEINT + bs[(32*(t-1)) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)) + 8] * 72057594037927936::HUGEINT),
-           'w2': (bs[(32*(t-1)+8) + 1] * 1::HUGEINT + bs[(32*(t-1)+8) + 2] * 256::HUGEINT + bs[(32*(t-1)+8) + 3] * 65536::HUGEINT + bs[(32*(t-1)+8) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+8) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+8) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+8) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+8) + 8] * 72057594037927936::HUGEINT),
-           'w3': (bs[(32*(t-1)+16) + 1] * 1::HUGEINT + bs[(32*(t-1)+16) + 2] * 256::HUGEINT + bs[(32*(t-1)+16) + 3] * 65536::HUGEINT + bs[(32*(t-1)+16) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+16) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+16) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+16) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+16) + 8] * 72057594037927936::HUGEINT),
-           'w4': (bs[(32*(t-1)+24) + 1] * 1::HUGEINT + bs[(32*(t-1)+24) + 2] * 256::HUGEINT + bs[(32*(t-1)+24) + 3] * 65536::HUGEINT + bs[(32*(t-1)+24) + 4] * 16777216::HUGEINT + bs[(32*(t-1)+24) + 5] * 4294967296::HUGEINT + bs[(32*(t-1)+24) + 6] * 1099511627776::HUGEINT + bs[(32*(t-1)+24) + 7] * 281474976710656::HUGEINT + bs[(32*(t-1)+24) + 8] * 72057594037927936::HUGEINT)})),
-       (a, s) -> {'w1': ((((((((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w1) + (((s.w1) * 668265295::HUGEINT + (((s.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w2': ((((((((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w2) + (((s.w2) * 668265295::HUGEINT + (((s.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w3': ((((((((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w3) + (((s.w3) * 668265295::HUGEINT + (((s.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT), 'w4': ((((((((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((a.w4) + (((s.w4) * 668265295::HUGEINT + (((s.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)}) AS v
-   FROM x_bs),
- x_h1 AS (SELECT k, n, bs,
-     ((CASE WHEN n >= 32 THEN (((((xor(((((((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor(((((((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2246822535::HUGEINT + (((xor((((((((v.w1) << 1) & 18446744073709551615::HUGEINT) | ((v.w1) >> 63)) + ((((v.w2) << 7) & 18446744073709551615::HUGEINT) | ((v.w2) >> 57)) + ((((v.w3) << 12) & 18446744073709551615::HUGEINT) | ((v.w3) >> 52)) + ((((v.w4) << 18) & 18446744073709551615::HUGEINT) | ((v.w4) >> 46))) & 18446744073709551615::HUGEINT)), ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w1) * 668265295::HUGEINT + (((v.w1) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w2) * 668265295::HUGEINT + (((v.w2) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w3) * 668265295::HUGEINT + (((v.w3) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)), ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((v.w4) * 668265295::HUGEINT + (((v.w4) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)
-            ELSE 2870177450012600303::HUGEINT END) + n) & 18446744073709551615::HUGEINT AS h1
-   FROM x_st),
- x_h2 AS (SELECT k, n, bs,
-     list_reduce(list_prepend(h1,
-       list_transform(generate_series(1, CAST((n % 32) // 8 AS INT)), t ->
-         (bs[(32*(n//32) + 8*(t-1)) + 1] * 1::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 2] * 256::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 3] * 65536::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 4] * 16777216::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 5] * 4294967296::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 6] * 1099511627776::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 7] * 281474976710656::HUGEINT + bs[(32*(n//32) + 8*(t-1)) + 8] * 72057594037927936::HUGEINT))),
-       (a, w) -> (((((((((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) << 27) & 18446744073709551615::HUGEINT) | ((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) >> 37))) * 2246822535::HUGEINT + (((((((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) << 27) & 18446744073709551615::HUGEINT) | ((xor(a, ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2246822535::HUGEINT + ((((((((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) << 31) & 18446744073709551615::HUGEINT) | (((((w) * 668265295::HUGEINT + (((w) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) >> 33))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT))) >> 37))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) + 9650029242287828579::HUGEINT) & 18446744073709551615::HUGEINT)) AS h2,
-     32*(n//32) + 8*((n % 32)//8) AS o4
-   FROM x_h1),
- x_h3 AS (SELECT k, n, bs,
-     CASE WHEN (n % 8) >= 4
-          THEN (((((((((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) << 23) & 18446744073709551615::HUGEINT) | ((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) >> 41))) * 668265295::HUGEINT + (((((((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) << 23) & 18446744073709551615::HUGEINT) | ((xor(h2, (((bs[(o4) + 1] * 1::HUGEINT + bs[(o4) + 2] * 256::HUGEINT + bs[(o4) + 3] * 65536::HUGEINT + bs[(o4) + 4] * 16777216::HUGEINT)) * 11400714785074694791::HUGEINT) & 18446744073709551615::HUGEINT)) >> 41))) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) + 1609587929392839161::HUGEINT) & 18446744073709551615::HUGEINT
-          ELSE h2 END AS h3
-   FROM x_h2),
- x_h4 AS (SELECT k,
-     list_reduce(list_prepend(h3,
-       list_transform(generate_series(1, CAST(n % 4 AS INT)), t ->
-         bs[CAST(n - (n % 4) AS INT) + t])),
-       (a, b) -> (((((((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) << 11) & 18446744073709551615::HUGEINT) | ((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) >> 53))) * 2246822535::HUGEINT + (((((((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) << 11) & 18446744073709551615::HUGEINT) | ((xor(a, (b * 2870177450012600261::HUGEINT) & 18446744073709551615::HUGEINT)) >> 53))) * 2654435761::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT)) AS h4
-   FROM x_h3),
- x_a1 AS (SELECT k, (((xor(h4, h4 >> 33)) * 668265295::HUGEINT + (((xor(h4, h4 >> 33)) * 3266489917::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS a2 FROM x_h4),
- x_a2 AS (SELECT k, (((xor(a2, a2 >> 29)) * 2654435833::HUGEINT + (((xor(a2, a2 >> 29)) * 374761393::HUGEINT & 4294967295::HUGEINT) << 32)) & 18446744073709551615::HUGEINT) AS a4 FROM x_a1),
- x_out AS (SELECT k,
-     CAST(CASE WHEN xor(a4, a4 >> 32) >= 9223372036854775808::HUGEINT
-               THEN xor(a4, a4 >> 32) - 18446744073709551616::HUGEINT
-               ELSE xor(a4, a4 >> 32) END AS BIGINT) AS h
-   FROM x_a2)
+""" + Xxh64StrCtes + """
  SELECT k.d AS doc_id,
    max(CASE WHEN k.kind = 0 THEN h END) AS fp,
    min(CASE WHEN k.kind = 1 THEN h END) AS min_shingle
- FROM x_out GROUP BY 1 ORDER BY doc_id""",
+ FROM x_out GROUP BY 1 ORDER BY doc_id"""),
 
     // ingest-stats arithmetic straight off the source table: every doc is
     // one good line, every doc_id % 50 == 0 adds one garbage line
@@ -3919,6 +3955,36 @@ object SparkEntry {
          FROM documents d
          JOIN c ON d.source = c.source AND d.n_chars = c.n_chars
          ORDER BY d.doc_id"""),
+
+    // every unigram AND bigram pushed through the byte-exact string-hash
+    // port, folded mod 64, then the same integer dot-product core —
+    // collision structure has to match bit-for-bit
+    "q_dsir_features" ->
+      ("""WITH base AS (SELECT doc_id, source, list_filter(string_split_regex(
+           trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+           '[ \t\n\v\f\r]+'), t -> t != '') AS ws FROM documents),
+         grams AS (
+           SELECT doc_id, source, unnest(ws) AS s FROM base
+           UNION ALL
+           SELECT doc_id, source, unnest(list_transform(
+               generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]))
+           FROM base WHERE len(ws) >= 2),
+         src AS (SELECT {'d': doc_id,
+             'tgt': source IN ('src0', 'src1')} AS k, s FROM grams),
+         """ + Xxh64StrCtes + """,
+         f AS (SELECT k.d AS doc_id, k.tgt AS tgt,
+             ((h % 64) + 64) % 64 AS bucket, count(*) AS cnt
+           FROM x_out GROUP BY 1, 2, 3),
+         tt AS (SELECT bucket, sum(cnt) AS t FROM f WHERE tgt GROUP BY 1),
+         rt AS (SELECT bucket, sum(cnt) AS r FROM f WHERE NOT tgt GROUP BY 1)
+         SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(f.cnt * coalesce(tt.t, 0)) AS BIGINT) AS dot_target,
+           CAST(sum(f.cnt * coalesce(rt.r, 0)) AS BIGINT) AS dot_raw
+         FROM f LEFT JOIN tt ON f.bucket = tt.bucket
+         LEFT JOIN rt ON f.bucket = rt.bucket
+         WHERE NOT f.tgt
+         GROUP BY f.doc_id ORDER BY f.doc_id"""),
 
     // mixture rates re-derived with the SAME fixed-order double
     // arithmetic as Sampling.mixtureCopies — (budget * w) / T, least
