@@ -1584,6 +1584,29 @@ object SparkEntry {
       perDoc.unionByName(realized).stableSorted("family", "k")
     }),
 
+    // the end-to-end train-prep composition: 80/10/10 split → mixture
+    // rates computed over the TRAIN split's token totals → epoch
+    // explosion → packing on the composite epoch key (id·16 + epoch, so
+    // upsampled copies spread through the stream). The oracle re-derives
+    // every stage, hashing TWICE (doc id for split/mixing, epoch key for
+    // pack order) via a second instantiation of the XXH64 chain
+    "q_train_pipeline" -> ((s, dir) => {
+      import graft.text.TrainPipeline
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val (packed, _) = TrainPipeline.build(docs, "doc_id", "text",
+        "source",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        trainSplit = "train",
+        weights = Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.08,
+          "src3" -> 0.02),
+        tokenBudget = 30000L, maxRate = 8.0, blockLen = 128, nShards = 4)
+      packed.select(col("doc_id"), col("epoch"), col("shard"),
+          col("n_tokens"), col("offset"), col("first_block"),
+          col("last_block"))
+        .stableSorted("doc_id", "epoch")
+    }),
+
     // Char-3-gram LM quality scoring (the CCNet KenLM-signal analog):
     // train on the doc_id%5==0 slice, score every doc. Graded on the
     // EXACT integer core of the score — positions, train-count mass of
@@ -2288,6 +2311,14 @@ object SparkEntry {
                THEN xor(a4, a4 >> 32) - 18446744073709551616::HUGEINT
                ELSE xor(a4, a4 >> 32) END AS BIGINT) AS h
    FROM x_a2)"""
+
+  /** [[Xxh64LongCtes]] re-instantiated under u-prefixed CTE names
+    * reading from a base CTE `t2(..., v)` — for oracles that hash twice
+    * in one query (q_train_pipeline: doc id for split/mixing, epoch key
+    * for packing order).
+    */
+  private val Xxh64LongCtes2: String =
+    Xxh64LongCtes.replaceAll("\\bs(\\d+)\\b", "u$1").replace("FROM t)", "FROM t2)")
 
   /** The DuckDB twin of [[graft.text.TextFunctions.tokenCount]]:
     * trim every Java-\s whitespace class from both ends, split on
@@ -4017,6 +4048,58 @@ object SparkEntry {
            SELECT 'realized', source, CAST(sum(copies * n_tokens) AS BIGINT)
            FROM cp GROUP BY source)
          ORDER BY family, k"""),
+
+    // the whole train-prep funnel re-derived: split threshold, the
+    // mixture rate double chain over TRAIN-split totals, epoch
+    // explosion, then the packing cumsum ordered by the SECOND hash
+    // chain over epoch keys (u-prefixed instantiation). sp/pk are
+    // MATERIALIZED: a filter/window referencing the hash output would
+    // otherwise be pushed down THROUGH the 21 projection stages,
+    // re-substituting the chain expression at each step — >600 s vs
+    // 0.6 s measured for this query
+    "q_train_pipeline" ->
+      ("""WITH t AS (SELECT doc_id, source, text, doc_id AS v FROM documents),
+         """ + Xxh64LongCtes + """,
+         sp AS MATERIALIZED (SELECT doc_id, source, text,
+             (((h % 1000000000) + 1000000000) % 1000000000) AS pm,
+             """ + TokenCountSql + """ AS n_tokens
+           FROM s21),
+         tr AS (SELECT * FROM sp WHERE pm / 1000000000.0 < 0.8),
+         tot AS (SELECT source, sum(n_tokens) AS tt FROM tr GROUP BY source),
+         rt AS (SELECT source,
+             least((30000.0 * CASE source WHEN 'src0' THEN 0.5
+                 WHEN 'src1' THEN 0.2 WHEN 'src2' THEN 0.08
+                 WHEN 'src3' THEN 0.02 ELSE 0.0 END) / CAST(tt AS DOUBLE),
+               8.0) AS rate
+           FROM tot),
+         cp AS (SELECT tr.doc_id, tr.source, tr.n_tokens,
+             CAST(floor(rate) AS BIGINT)
+               + CASE WHEN pm / 1000000000.0 < rate - floor(rate)
+                 THEN 1 ELSE 0 END AS copies
+           FROM tr JOIN rt USING (source)),
+         ep AS (SELECT doc_id, source, n_tokens,
+             unnest(generate_series(1, copies)) AS epoch
+           FROM cp WHERE copies > 0),
+         t2 AS (SELECT doc_id, epoch, n_tokens,
+             doc_id * 16 + epoch AS ek, doc_id * 16 + epoch AS v FROM ep),
+         """ + Xxh64LongCtes2 + """,
+         pk AS MATERIALIZED (SELECT doc_id, epoch, n_tokens, ek, h,
+             ((h % 4) + 4) % 4 AS shard FROM u21),
+         p AS (SELECT doc_id, epoch, shard, n_tokens,
+             coalesce(sum(n_tokens + 1) OVER (PARTITION BY shard
+               ORDER BY h, ek
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS "offset"
+           FROM pk)
+         SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard AS INT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST("offset" AS BIGINT) AS "offset",
+           CAST(floor("offset" / 128.0) AS BIGINT) AS first_block,
+           CAST(CASE WHEN n_tokens > 0
+               THEN floor(("offset" + n_tokens - 1) / 128.0)
+               ELSE floor("offset" / 128.0) END AS BIGINT) AS last_block
+         FROM p ORDER BY doc_id, epoch"""),
 
     // the same train slice, gram/context count tables, and per-position
     // left joins as LangModel.trainCharLm/scoreCharLm; zero-position

@@ -108,6 +108,31 @@ object TrainPrepProbe {
         .where(col("bucket") === 2).count()
     level("buckets_x1", x1)(bucketRun)
     level("buckets_x10", docs)(bucketRun)
+
+    def dsirRun(d: DataFrame): Long = {
+      val isT = pmod(col("doc_id"), lit(10)) === 0
+      val tf = graft.text.Importance.hashedNgramCounts(
+        d.where(isT), "doc_id", "text", 10000)
+      val rf = graft.text.Importance.hashedNgramCounts(
+        d.where(!isT), "doc_id", "text", 10000)
+      graft.text.Importance.importanceWeights(rf,
+          graft.text.Importance.bucketTotals(tf),
+          graft.text.Importance.bucketTotals(rf), "doc_id", 10000)
+        .agg(sum(col("n_grams"))).head.getLong(0)
+    }
+    level("dsir_x1", x1)(dsirRun)
+    level("dsir_x10", docs)(dsirRun)
+
+    def pipeRun(d: DataFrame): Long = {
+      val (packed, _) = graft.text.TrainPipeline.build(d, "doc_id",
+        "text", "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "train",
+        weights, tokenBudget = 300000L, maxRate = 8.0, blockLen = 128,
+        nShards = 8)
+      packed.agg(max(col("last_block"))).head.getLong(0)
+    }
+    level("pipeline_x1", x1)(pipeRun)
+    level("pipeline_x10", docs)(pipeRun)
     spark.stop()
   }
 }
