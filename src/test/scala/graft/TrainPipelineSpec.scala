@@ -94,6 +94,13 @@ class TrainPipelineSpec extends SparkSuite {
     assert(spread > 0L)
   }
 
+  test("plan shape: two hash exchanges (mixture totals + pack shard), one broadcast, no range sort") {
+    val plan = run(docs)._1.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("packed map is partitioning-invariant; guards reject bad inputs") {
     def rows(d: org.apache.spark.sql.DataFrame) =
       run(d)._1.select($"doc_id", $"epoch", $"shard", $"offset")
