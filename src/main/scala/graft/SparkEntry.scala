@@ -1481,6 +1481,22 @@ object SparkEntry {
         .stableSorted("doc_id", "block")
     }),
 
+    // the packed blocks MATERIALIZED: every (shard, block) row carries
+    // the actual token sequence in stream order (doc tokens + one <eos>
+    // each) — the writer-stage proof that the offset map indexes the
+    // stream it claims to; every block's full text is re-derived in
+    // DuckDB ordered by the same stream positions
+    "q_block_text" -> ((s, dir) => {
+      import graft.text.{Packing, TextFunctions => TF}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val packed = Packing.packSequences(docs, "doc_id",
+        TF.tokenCount(col("text")), blockLen = 128, nShards = 4)
+      Packing.blockTokens(packed, "text", blockLen = 128)
+        .select(col("shard"), col("block"), col("n_filled"),
+          col("block_text"))
+        .stableSorted("shard", "block")
+    }),
+
     // deterministic train/val/test split (80/10/10 by key hash):
     // same-key rows split together, assignment replays across
     // partitioning and reruns; the oracle reproduces the when-chain's
@@ -3931,6 +3947,37 @@ object SparkEntry {
            CAST(least(n_tokens, (block + 1) * 128 - "offset")
              - greatest(0, block * 128 - "offset") AS BIGINT) AS tok_len
          FROM ex ORDER BY doc_id, block"""),
+
+    // the same shard/cumsum chain as q_sequence_pack, then every stream
+    // element (token or the per-doc <eos>) placed at offset + i and the
+    // block text string_agg'd in stream order
+    "q_block_text" ->
+      ("""WITH t AS (SELECT doc_id, text, doc_id AS v FROM documents),
+         """ + Xxh64LongCtes + """,
+         tk AS (SELECT doc_id, h, ((h % 4) + 4) % 4 AS shard,
+             CASE WHEN trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = ''
+                  THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(
+                    trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+                    '[ \t\n\v\f\r]+'), x -> x != '') END AS ws
+           FROM s21),
+         p AS (SELECT doc_id, shard, ws,
+             coalesce(sum(len(ws) + 1) OVER (PARTITION BY shard
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS "offset"
+           FROM tk),
+         el AS (SELECT shard,
+             unnest(list_transform(generate_series(1, len(ws) + 1),
+               i -> {'spos': "offset" + i - 1,
+                     'tok': CASE WHEN i <= len(ws) THEN ws[CAST(i AS INT)]
+                                 ELSE '<eos>' END})) AS e
+           FROM p)
+         SELECT CAST(shard AS INT) AS shard,
+           CAST(e.spos // 128 AS BIGINT) AS block,
+           CAST(count(*) AS BIGINT) AS n_filled,
+           string_agg(e.tok, ' ' ORDER BY e.spos) AS block_text
+         FROM el GROUP BY 1, 2 ORDER BY shard, block"""),
 
     // the split thresholds written as the SAME running double sums the
     // when-chain evaluates: 0.8, then (0.8 + 0.1) — NOT the decimal 0.9

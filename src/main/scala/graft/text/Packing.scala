@@ -83,6 +83,36 @@ object Packing {
     * `ceil(n_tokens / blockLen) + 1` rows at most — the same order as
     * the corpus itself.
     */
+  /** Materialize the packed blocks themselves: one row per
+    * (shard, block) carrying the block's token sequence in stream order
+    * — each document's whitespace tokens followed by one `eos`
+    * separator, exactly the stream [[packSequences]]'s offsets index
+    * into. `packed` must still carry the text column. The final block
+    * of a shard may be short (the stream ends mid-block); every other
+    * block holds exactly `blockLen` tokens.
+    *
+    * This is the only packing-family member that moves text: one
+    * explode per token (tokenizer-pass cost class), one hash exchange
+    * on (shard, block), and a per-block sort of ≤ blockLen elements.
+    * Run it as the final writer stage, after every doc-level gate.
+    */
+  def blockTokens(packed: DataFrame, textCol: String, blockLen: Int,
+      eos: String = "<eos>"): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
+    val toks = TextFunctions.tokens(col(textCol))
+    packed
+      .select(col("shard"), col("offset"),
+        posexplode(concat(toks, array(lit(eos)))).as(Seq("_pos", "_tok")))
+      .select(col("shard"), (col("offset") + col("_pos")).as("_spos"),
+        col("_tok"))
+      .withColumn("block", floor(col("_spos") / blockLen))
+      .groupBy(col("shard"), col("block"))
+      .agg(count(lit(1)).as("n_filled"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_spos"), col("_tok")))),
+          x => x.getField("_tok")), " ").as("block_text"))
+  }
+
   def blockSlices(packed: DataFrame, blockLen: Int): DataFrame = {
     require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
     require(!packed.columns.exists(Set("block", "tok_start", "tok_len")),

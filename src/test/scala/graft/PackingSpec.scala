@@ -86,6 +86,40 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("blockTokens: full blocks except each shard's last, eos per doc, stream agrees with the offset map") {
+    val packed = pack(docs, blockLen = 10, nShards = 2)
+    val blocks = graft.text.Packing.blockTokens(packed, "text", 10)
+      .select($"shard", $"block", $"n_filled", $"block_text")
+      .as[(Int, Long, Long, String)].collect()
+    // total stream length = Σ (n_tokens + 1)
+    val streamLen = packed.agg(sum($"n_tokens" + 1L)).head.getLong(0)
+    assert(blocks.map(_._3).sum === streamLen)
+    // every block except each shard's last is exactly full
+    blocks.groupBy(_._1).foreach { case (shard, bs) =>
+      val lastBlock = bs.map(_._2).max
+      bs.foreach { case (_, b, n, txt) =>
+        if (b < lastBlock) assert(n === 10L, s"shard $shard block $b")
+        assert(txt.split(" ").length.toLong === n)
+      }
+    }
+    // one eos per document, split between the shards
+    assert(blocks.map(_._4.split(" ").count(_ == "<eos>")).sum ===
+      docs.count())
+    // a doc's tokens appear verbatim in stream order: reconstruct each
+    // shard's stream and check every doc's span equals its text tokens
+    val streams = blocks.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).flatMap(_._4.split(" ")).toSeq).toMap
+    packed.select($"shard", $"offset", $"n_tokens", $"text")
+      .as[(Int, Long, Long, Option[String])].collect()
+      .foreach { case (shard, off, n, txt) =>
+        val want = txt.map(_.trim).filter(_.nonEmpty)
+          .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+        val got = streams(shard).slice(off.toInt, (off + n).toInt)
+        assert(got === want, s"shard $shard offset $off")
+        assert(streams(shard)((off + n).toInt) === "<eos>")
+      }
+  }
+
   test("block map is partitioning-invariant and replayable") {
     def run(df: org.apache.spark.sql.DataFrame) =
       pack(df, blockLen = 7, nShards = 4)
