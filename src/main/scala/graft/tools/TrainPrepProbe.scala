@@ -123,6 +123,15 @@ object TrainPrepProbe {
     level("dsir_x1", x1)(dsirRun)
     level("dsir_x10", docs)(dsirRun)
 
+    def blockTextRun(d: DataFrame): Long =
+      Packing.blockTokens(
+        Packing.packSequences(d, "doc_id",
+          TextFunctions.tokenCount(col("text")), blockLen = 128,
+          nShards = 8), "text", blockLen = 128)
+        .agg(sum(col("n_filled"))).head.getLong(0)
+    level("blocktext_x1", x1)(blockTextRun)
+    level("blocktext_x10", docs)(blockTextRun)
+
     def pipeRun(d: DataFrame): Long = {
       val (packed, _) = graft.text.TrainPipeline.build(d, "doc_id",
         "text", "source",
