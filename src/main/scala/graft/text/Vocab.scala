@@ -34,12 +34,7 @@ object Vocab {
     * join-on-(doc, pos+1) formulation would shuffle every token twice.
     */
   def pairCounts(df: DataFrame, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val pairs = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
+    val pairs = TextFunctions.adjacentPairs(TextFunctions.tokens(col(textCol)))
     df.select(explode(pairs).as("pair")).groupBy("pair")
       .agg(count(lit(1)).as("n"))
   }

@@ -80,6 +80,14 @@ class ImportanceSpec extends SparkSuite {
     assert(got(1L)._2 > got(2L)._2)
     assert(got(3L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
     // one bucket ⇒ both smoothed multinomials are the constant 1 ⇒ w = 0
+    // an EMPTY target table must not poison the weights NULL — the
+    // smoothing carries everything (weight finite and defined)
+    val emptyT = Importance.bucketTotals(
+      Importance.hashedNgramCounts(target.where(lit(false)),
+        "doc_id", "text", B))
+    val ew = Importance.importanceWeights(rf, emptyT, rt, "doc_id", B,
+      alpha).as[(Long, Long, Double)].collect()
+    assert(ew.nonEmpty && ew.forall(r => !r._3.isNaN && !r._3.isInfinite))
     val degen = Importance.importanceWeights(
       Importance.hashedNgramCounts(raw, "doc_id", "text", 1),
       Importance.bucketTotals(

@@ -202,6 +202,16 @@ class SamplingSpec extends SparkSuite {
     val plan = Sampling.quantileBuckets(df, "score", Seq("g"), 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // NULLs are data: a null score (or group) keeps its row with a NULL
+    // bucket, and the cuts over the scored population are unchanged
+    val withNull = df.unionByName(Seq(("A", 7L, null.asInstanceOf[
+      Integer]).asInstanceOf[(String, Long, Integer)])
+      .toDF("g", "id", "score").select($"g", $"id",
+        $"score".cast("int").as("score")))
+    val nb = Sampling.quantileBuckets(withNull, "score", Seq("g"), 3)
+      .select($"id", $"bucket").as[(Long, Option[Int])].collect().toMap
+    assert(nb.size === 13 && nb(7L).isEmpty)
+    assert(nb(1L).contains(0) && nb(6L).contains(2))
   }
 
   test("explodeCopies: one row per epoch, zero-copy rows drop") {

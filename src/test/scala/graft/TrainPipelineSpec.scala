@@ -118,5 +118,11 @@ class TrainPipelineSpec extends SparkSuite {
       TrainPipeline.build(docs.withColumn("epoch", lit(1)), "doc_id",
         "text", "source", splits, "train", weights, 1000L)
     }
+    // a non-integral id column breaks the epoch-key packing — rejected
+    intercept[IllegalArgumentException] {
+      TrainPipeline.build(
+        docs.withColumn("doc_id", $"doc_id".cast("string")), "doc_id",
+        "text", "source", splits, "train", weights, 1000L)
+    }
   }
 }
