@@ -1481,6 +1481,21 @@ object SparkEntry {
         .stableSorted("doc_id", "block")
     }),
 
+    // per-document sliding windows (the BERT/embedding chunking recipe,
+    // the complement of cross-doc packing): 32-token windows every 24
+    // tokens — short docs one window, the last window short, empty docs
+    // nothing; pure per-row arithmetic the oracle reproduces exactly
+    "q_doc_windows" -> ((s, dir) => {
+      import graft.text.{Packing, TextFunctions => TF}
+      Packing.docWindows(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", TF.tokenCount(col("text")),
+          windowLen = 32, stride = 24)
+        .select(col("doc_id"), col("win"), col("tok_start"),
+          col("tok_len"))
+        .stableSorted("doc_id", "win")
+    }),
+
     // the packed blocks MATERIALIZED: every (shard, block) row carries
     // the actual token sequence in stream order (doc tokens + one <eos>
     // each) — the writer-stage proof that the offset map indexes the
@@ -3947,6 +3962,20 @@ object SparkEntry {
            CAST(least(n_tokens, (block + 1) * 128 - "offset")
              - greatest(0, block * 128 - "offset") AS BIGINT) AS tok_len
          FROM ex ORDER BY doc_id, block"""),
+
+    // the window-start arithmetic verbatim: starts every 24 tokens,
+    // last window reaches the final token, n<=32 one window, n=0 none
+    "q_doc_windows" ->
+      ("""WITH tk AS (SELECT doc_id,
+           """ + TokenCountSql + """ AS n FROM documents),
+         w AS (SELECT doc_id, n,
+             unnest(generate_series(0,
+               (greatest(n - 32, 0) + 23) // 24)) AS win
+           FROM tk WHERE n > 0)
+         SELECT doc_id, CAST(win AS BIGINT) AS win,
+           CAST(win * 24 AS BIGINT) AS tok_start,
+           CAST(least(32, n - win * 24) AS BIGINT) AS tok_len
+         FROM w ORDER BY doc_id, win"""),
 
     // the same shard/cumsum chain as q_sequence_pack, then every stream
     // element (token or the per-doc <eos>) placed at offset + i and the

@@ -71,6 +71,39 @@ object Packing {
       .drop("_h")
   }
 
+  /** Per-DOCUMENT sliding windows — the BERT/embedding-model chunking
+    * recipe, the complement of cross-document packing: a long document
+    * becomes overlapping fixed-length windows (`windowLen` tokens,
+    * starts every `stride ≤ windowLen`), a short one becomes a single
+    * window, an empty one contributes nothing. Window starts are
+    * `0, stride, 2·stride, …` with
+    * `n_windows = floor((max(n − windowLen, 0) + stride − 1) / stride) + 1`
+    * — the last window always reaches the document's final token and is
+    * the only one allowed to be short.
+    *
+    * One row per (document, window) with `win` (0-based), `tok_start`,
+    * `tok_len`. Pure per-row arithmetic + a bounded explode
+    * (≤ n_tokens/stride + 1 rows per doc): no shuffle at all — chunking
+    * composes with whatever partitioning the caller already has.
+    */
+  def docWindows(df: DataFrame, idCol: String, tokensCol: Column,
+      windowLen: Int, stride: Int): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be >= 1: $windowLen")
+    require(stride >= 1 && stride <= windowLen,
+      s"stride must be in [1, windowLen]: $stride vs $windowLen")
+    require(!df.columns.exists(Set("win", "tok_start", "tok_len", "_n")),
+      "docWindows reserves the win/tok_start/tok_len/_n column names")
+    df.withColumn("_n", coalesce(tokensCol.cast("long"), lit(0L)))
+      .where(col("_n") > 0L)
+      .withColumn("win", explode(sequence(lit(0L),
+        expr(s"(greatest(_n - ${windowLen}L, 0L) + ${stride - 1}L)" +
+          s" DIV ${stride}L"))))
+      .withColumn("tok_start", col("win") * stride)
+      .withColumn("tok_len",
+        least(lit(windowLen.toLong), col("_n") - col("tok_start")))
+      .drop("_n")
+  }
+
   /** Materialize the packed blocks themselves: one row per
     * (shard, block) carrying the block's token sequence in stream order
     * — each document's whitespace tokens followed by one `eos`

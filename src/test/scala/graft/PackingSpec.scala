@@ -120,6 +120,37 @@ class PackingSpec extends SparkSuite {
       }
   }
 
+  test("docWindows: strided starts, last window reaches the final token, short docs one window, empty none, no shuffle") {
+    import graft.text.{Packing, TextFunctions => TF}
+    val wins = Packing.docWindows(docs, "doc_id",
+        TF.tokenCount($"text"), windowLen = 5, stride = 3)
+      .select($"doc_id", $"win", $"tok_start", $"tok_len",
+        TF.tokenCount($"text").as("n"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // empty docs (0 and 7 in this fixture) emit nothing
+    assert(!wins.exists(w => w._1 == 0L || w._1 == 7L))
+    wins.groupBy(_._1).foreach { case (id, ws) =>
+      val inOrder = ws.sortBy(_._2)
+      val n = inOrder.head._5
+      // starts every stride; every window non-empty and in range
+      inOrder.foreach { case (_, w, st, ln, _) =>
+        assert(st === w * 3 && ln >= 1 && st + ln <= n, s"doc $id win $w")
+        assert(ln === math.min(5L, n - st))
+      }
+      // the last window covers the final token; window count formula
+      val (_, lastW, lastSt, lastLn, _) = inOrder.last
+      assert(lastSt + lastLn === n, s"doc $id")
+      assert(lastW === (math.max(n - 5, 0) + 2) / 3, s"doc $id")
+      // short docs: exactly one window
+      if (n <= 5) assert(inOrder.length === 1, s"doc $id")
+    }
+    // chunking is shuffle-free: composes with any existing partitioning
+    val plan = Packing.docWindows(docs, "doc_id",
+        TF.tokenCount($"text"), 5, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("block map is partitioning-invariant and replayable") {
     def run(df: org.apache.spark.sql.DataFrame) =
       pack(df, blockLen = 7, nShards = 4)
