@@ -84,7 +84,11 @@ object Packing {
     * One row per (document, window) with `win` (0-based), `tok_start`,
     * `tok_len`. Pure per-row arithmetic + a bounded explode
     * (≤ n_tokens/stride + 1 rows per doc): no shuffle at all — chunking
-    * composes with whatever partitioning the caller already has.
+    * composes with whatever partitioning the caller already has. To
+    * materialize a window's text:
+    * `array_join(slice(TextFunctions.tokens(text), tok_start + 1,
+    * tok_len), " ")` — the map stays offsets until the embed/write step
+    * consumes it, same as [[packSequences]].
     */
   def docWindows(df: DataFrame, idCol: String, tokensCol: Column,
       windowLen: Int, stride: Int): DataFrame = {
@@ -145,6 +149,11 @@ object Packing {
     * placeholder). Expansion is bounded: a doc emits
     * `ceil(n_tokens / blockLen) + 1` rows at most — the same order as
     * the corpus itself.
+    *
+    * Block-diagonal attention masks fall out of this frame: a block's
+    * document-boundary positions are
+    * `greatest(0, offset - block*blockLen)` over its rows with
+    * `tok_start = 0` (true document starts, not continuations).
     */
   def blockSlices(packed: DataFrame, blockLen: Int): DataFrame = {
     require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
