@@ -151,6 +151,38 @@ class PackingSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("docWindows properties on randomized (n, windowLen, stride): tiling, count formula, coverage") {
+    import graft.text.Packing
+    val rng = new scala.util.Random(777)
+    (1 to 5).foreach { trial =>
+      val w = 1 + rng.nextInt(20)
+      val s = 1 + rng.nextInt(w)
+      val df = (1 to 300).map(i => (i.toLong, rng.nextInt(60).toLong))
+        .toDF("doc_id", "n")
+      val got = Packing.docWindows(df, "doc_id", $"n", w, s)
+        .select($"doc_id", $"n", $"win", $"tok_start", $"tok_len")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val ns = df.as[(Long, Long)].collect().toMap
+      // docs with zero tokens absent; all others fully covered
+      got.groupBy(_._1).foreach { case (id, ws) =>
+        val n = ns(id)
+        val inOrder = ws.sortBy(_._3)
+        assert(inOrder.length ===
+          (math.max(n - w, 0) + s - 1) / s + 1, s"t$trial doc $id count")
+        // every token position is inside at least one window, windows
+        // never overrun, the last one ends exactly at n
+        inOrder.foreach { case (_, _, win, st, ln) =>
+          assert(st === win * s && ln >= 1 && st + ln <= n, s"t$trial $id")
+        }
+        val covered = inOrder.flatMap(x => x._4 until (x._4 + x._5)).toSet
+        assert(covered === (0L until n).toSet, s"t$trial doc $id cover")
+        assert(inOrder.last._4 + inOrder.last._5 === n, s"t$trial $id end")
+      }
+      assert(ns.filter(_._2 == 0L).keySet
+        .intersect(got.map(_._1).toSet).isEmpty, s"t$trial empties")
+    }
+  }
+
   test("block map is partitioning-invariant and replayable") {
     def run(df: org.apache.spark.sql.DataFrame) =
       pack(df, blockLen = 7, nShards = 4)

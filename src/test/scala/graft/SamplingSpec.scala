@@ -214,6 +214,33 @@ class SamplingSpec extends SparkSuite {
     assert(nb(1L).contains(0) && nb(6L).contains(2))
   }
 
+  test("quantileBuckets properties on randomized score multisets: totality, monotone in score, size bound") {
+    val rng = new scala.util.Random(4242)
+    (1 to 5).foreach { trial =>
+      val k = 2 + rng.nextInt(5)
+      val rows = (1 to 500 + rng.nextInt(1500)).map(i =>
+        (i.toLong, rng.nextInt(1 + rng.nextInt(40))))
+      val df = rows.toDF("id", "score")
+      val got = Sampling.quantileBuckets(df, "score", Seq.empty, k)
+        .select($"id", $"score", $"bucket").as[(Long, Int, Int)]
+        .collect()
+      assert(got.length === rows.length, s"trial $trial: total")
+      // bucket is a monotone function of the score value alone
+      val byScore = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+      byScore.foreach { case (sc, bs) =>
+        assert(bs.size === 1, s"trial $trial score $sc")
+      }
+      val ordered = byScore.toSeq.sortBy(_._1).map(_._2.head)
+      assert(ordered === ordered.sorted, s"trial $trial monotone")
+      assert(got.forall(r => r._3 >= 0 && r._3 < k), s"trial $trial range")
+      // size bound: a bucket exceeds n/k by at most its largest tie mass
+      val n = rows.length
+      val tieMass = rows.groupBy(_._2).values.map(_.size).max
+      got.groupBy(_._3).values.map(_.size).foreach(sz =>
+        assert(sz <= n / k + tieMass, s"trial $trial size $sz"))
+    }
+  }
+
   test("explodeCopies: one row per epoch, zero-copy rows drop") {
     val df = Seq(("x", 3L), ("y", 1L), ("z", 0L)).toDF("key", "copies")
     val got = Sampling.explodeCopies(df)
