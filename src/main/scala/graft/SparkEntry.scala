@@ -56,7 +56,7 @@ object SparkEntry {
       prefix: String)(feed: (() => Unit) => Unit): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     val prevW = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = out.writeStream.format("parquet")
         .option("path", s"$tmp/out")
@@ -1195,11 +1195,20 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 2).parquet(s"$tmp/in")
       val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
         partExpr = "source")
-      graft.streaming.StreamingValidation.validateStream(
-          graft.text.QualityRules.withSignals(stream),
-          graft.text.QualityRules.catalog(), Map.empty, cfg,
-          s"$tmp/vios", s"$tmp/ckpt")
-        .start().awaitTermination()
+      // same width pin as streamedToParquet: each foreachBatch runs the
+      // engine's uniqueness/verdict shuffles, and 4 micro-batches × the
+      // session's full shuffle width is pure fixed machinery at batch
+      // volume (the r7 32→8 stream measurements); a production stream
+      // sizes the width to per-batch volume, not to this harness pin
+      val prevW = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        graft.streaming.StreamingValidation.validateStream(
+            graft.text.QualityRules.withSignals(stream),
+            graft.text.QualityRules.catalog(), Map.empty, cfg,
+            s"$tmp/vios", s"$tmp/ckpt")
+          .start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevW)
       // verdicts from the STREAMED sink: per-(part, rule) violation counts
       // over the full rule × partition grid; checked = per-part row counts
       // of the same staged input
@@ -1647,7 +1656,14 @@ object SparkEntry {
     // because ln() bit-parity across engines isn't contractual.
     "q_charlm_score" -> ((s, dir) => {
       import graft.text.LangModel
+      // width pin (the q_docs_quality_filter rationale): the local sf-dir
+      // parquet is a 1-split file and BOTH the training aggregate and the
+      // per-position scoring explode are compute-dense per row — unpinned,
+      // the whole tokenizer-class pass serializes on one scan task
+      // (StageProbe r8: 1.7 s single-task stage); a real corpus arrives in
+      // thousands of splits and needs no such hint
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(32)
       val model = LangModel.trainCharLm(
         docs.where(pmod(col("doc_id"), lit(5)) === 0), "text", n = 3)
       // every 7th doc gets out-of-distribution chars appended, so the

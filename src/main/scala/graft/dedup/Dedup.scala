@@ -826,12 +826,17 @@ object Dedup {
       col("simhash").as("a_sig"): _*)
     val b = pruned.select(keys.map(col) :+ col("id").as("b_id") :+
       col("simhash").as("b_sig"): _*)
+    // hamming filter BEFORE the distinct: a pair colliding in several
+    // bands computes the same hamming in each copy, so filter-then-
+    // distinct ≡ distinct-then-filter — and the dedup exchange carries
+    // only pairs within distance instead of every band collision
+    // (guide §2.3: shuffle fewer bytes)
     (a.join(b, keys)
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming), drops)
+      .where(col("hamming") <= maxHamming)
+      .distinct(), drops)
   }
 
   /** EXACT connected components over an undirected near-dup pair list —

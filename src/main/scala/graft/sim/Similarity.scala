@@ -366,25 +366,70 @@ object Similarity {
     * groups are stop-banded exactly like the MinHash-LSH path
     * (graft.dedup.Dedup.lshCandidates) — the skip list is tiny and
     * broadcast anti-joined.
+    *
+    * Cost shape of the quadratic stage (the r8 optimization pass):
+    *  - norms are computed ONCE PER ROW-SIDE before the self-join, so a
+    *    bucket of s vectors pays s norm passes + s²/2 dot products
+    *    instead of 3·s²/2 dot products (cosine() inlined per pair
+    *    re-derives both norms pairwise) — bit-identical values, the
+    *    division reads the exact same `sqrt(dot(v,v))` doubles;
+    *  - the threshold filter runs BEFORE the per-pair dedup aggregate,
+    *    not after: every (tbl, bucket) copy of a pair computes the same
+    *    cosine (the value doesn't depend on the bucket), so
+    *    max-then-filter ≡ filter-then-max, and the exchange feeding the
+    *    aggregate carries only pairs that PASS the threshold — at
+    *    near-dup rates that is orders of magnitude fewer rows than the
+    *    candidate set (guide §2.3: shuffle fewer bytes; measured on the
+    *    exact all-pairs config: the agg input drops from |corpus|²/2 to
+    *    |result|).
     */
+  /** Rows per bucket-chunk the salted self-join targets: a bucket of s
+    * rows is split across ceil(s / SaltTarget) join partitions (capped at
+    * [[MaxSalts]]), so one large-but-under-the-cap bucket — s²/2 dot
+    * products — spreads over many tasks instead of serializing on the one
+    * task its (tbl, bucket) key hashes to (guide §2.5: a single enormous
+    * key is the skew AQE's skew-join cannot split — salt it). Buckets at
+    * or under SaltTarget pay nothing: nSplit = 1 means the probe side's
+    * explode emits exactly one copy.
+    */
+  private val SaltTarget = 256L
+  private val MaxSalts = 64L
+
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 10, tables: Int = 3,
       maxBucketSize: Int = 500): DataFrame = {
     val banded = srpBanded(df, idCol, vecCol, "x", planes, tables)
       .withColumnRenamed("x_id", "id").withColumnRenamed("x_vec", "vec")
-    val oversized = banded.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("_bs")).where(col("_bs") > maxBucketSize)
-      .select("tbl", "bucket")
-    val pruned = banded.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
-    val a = pruned.select(col("tbl"), col("bucket"), col("id").as("a_id"),
-      col("vec").as("a_vec"))
-    val b = pruned.select(col("tbl"), col("bucket"), col("id").as("b_id"),
-      col("vec").as("b_vec"))
-    a.join(b, Seq("tbl", "bucket"))
+      .withColumn("nrm", norm(col("vec")))
+    // attach each row's bucket size (one co-partitioned aggregate+join on
+    // the same key the self-join uses) — it both applies the stop-band cap
+    // (replacing the r7 broadcast anti-join: keep iff _bs <= cap) and
+    // drives the per-bucket salt width below
+    val sizes = banded.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("_bs"))
+    val pruned = banded.join(sizes, Seq("tbl", "bucket"))
+      .where(col("_bs") <= maxBucketSize)
+    // deterministic per-bucket salt width: same bucket → same _bs → both
+    // sides agree; a-side rows carry ONE salt (hash of their id), b-side
+    // rows replicate to every salt of their bucket, so each (a, b) pair
+    // meets exactly once and output is identical to the unsalted join
+    val nSplit = greatest(lit(1L), least(lit(MaxSalts),
+      ceil(col("_bs").cast("double") / SaltTarget).cast("long")))
+    val a = pruned.select(col("tbl"), col("bucket"),
+      pmod(xxhash64(col("id"), lit(7L)), nSplit).as("_salt"),
+      col("id").as("a_id"), col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = pruned
+      .withColumn("_salt", explode(sequence(lit(0L), nSplit - 1L)))
+      .select(col("tbl"), col("bucket"), col("_salt"), col("id").as("b_id"),
+        col("vec").as("b_vec"), col("nrm").as("b_nrm"))
+    // same arithmetic as cosine(): d = norm(a) * norm(b), 0.0 when d == 0
+    val d = col("a_nrm") * col("b_nrm")
+    a.join(b, Seq("tbl", "bucket", "_salt"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        cosine(col("a_vec"), col("b_vec")).as("cosine"))
-      .groupBy(col("a_id"), col("b_id")).agg(max(col("cosine")).as("cosine"))
+        when(d === 0, 0.0)
+          .otherwise(dot(col("a_vec"), col("b_vec")) / d).as("cosine"))
       .where(col("cosine") >= threshold)
+      .groupBy(col("a_id"), col("b_id")).agg(max(col("cosine")).as("cosine"))
   }
 }

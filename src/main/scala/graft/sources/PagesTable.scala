@@ -44,8 +44,19 @@ object PagesTable {
     // and silently defeats the spread
     val n = math.max(filesPerDay,
       pages.sparkSession.sessionState.conf.numShufflePartitions)
+    // tidy path (filesPerDay = 1): an explicit SMALL width. Bare
+    // repartition(col) lets AQE coalesce the byte-tiny exchange to ONE
+    // task, which then writes every day's directory serially (measured
+    // r8: the whole write funneled through a single 0.7 s task); the full
+    // shuffle width wastes (width − days) empty task commits instead.
+    // Eight day-keyed tasks cover the tidy path's real shape — incremental
+    // appends of a handful of days (1 file/day holds under ANY width:
+    // each day still lands in exactly one task) — while multi-day
+    // backfills at scale are filesPerDay > 1 territory by the scaladoc's
+    // own serialization-funnel warning.
     val spread =
-      if (filesPerDay == 1) withDay.repartition(col(PartitionCol))
+      if (filesPerDay == 1)
+        withDay.repartition(math.min(8, n), col(PartitionCol))
       else withDay.repartition(n, col(PartitionCol),
         pmod(xxhash64(pages.columns.map(c => col(c).cast("string")): _*),
           lit(filesPerDay)))
@@ -149,8 +160,15 @@ object PagesTable {
         .distinct().collect().map(_.getString(0)).toSet
       val nOut = math.max(filesPerDay,
         spark.sessionState.conf.numShufflePartitions)
+      // tidy path: the kept-day list is ALREADY collected above, so the
+      // write width can be exact — one task per day (bounded by the
+      // session width), instead of either AQE's single serial task or
+      // (width − days) empty task commits (see [[write]])
       val spread =
-        if (filesPerDay == 1) deduped.repartition(col(PartitionCol))
+        if (filesPerDay == 1) deduped.repartition(
+          math.max(1, math.min(keptDays.size,
+            spark.sessionState.conf.numShufflePartitions)),
+          col(PartitionCol))
         else deduped.repartition(nOut, col(PartitionCol),
           pmod(xxhash64(deduped.columns.filterNot(_ == PartitionCol)
             .map(c => col(c).cast("string")): _*), lit(filesPerDay)))

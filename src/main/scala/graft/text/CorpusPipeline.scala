@@ -112,15 +112,24 @@ object CorpusPipeline {
           TextFunctions.canonicalUrl(col(u)).as("url"))): _*)
 
     // 0.5. (optional) url uniqueness on the canonical form: min id
-    // survives its url group; null urls all survive (isNull guard — a
-    // shared-null window group must not collapse distinct url-less docs)
+    // survives its url group; null urls all survive (no url ≠ same url).
+    // Null-url rows BYPASS the window entirely and union back untouched:
+    // every null url hashes to ONE window group, so a corpus with a large
+    // url-less slice (books/JSONL sources mixed with web) would otherwise
+    // funnel that whole slice through a single window task before the
+    // filter let it pass — the exact mega-group skew the engine's
+    // uniqueness pass was redesigned to avoid (guide §2.5: handle the
+    // null hot key separately). Survivor set is identical: the window
+    // only ever decided keep/drop for NON-null urls.
     val keepUrl = canonicalizeUrlCol match {
       case None => base
-      case Some(_) => materialize(base
-        .withColumn("_keep_id",
-          min(col("doc_id")).over(Window.partitionBy(col("url"))))
-        .where(col("url").isNull || col("doc_id") === col("_keep_id"))
-        .drop("_keep_id"))
+      case Some(_) =>
+        val urled = base.where(col("url").isNotNull)
+          .withColumn("_keep_id",
+            min(col("doc_id")).over(Window.partitionBy(col("url"))))
+          .where(col("doc_id") === col("_keep_id"))
+          .drop("_keep_id")
+        materialize(urled.unionByName(base.where(col("url").isNull)))
     }
 
     // 1. exact dedup: min id survives its fingerprint group
@@ -157,9 +166,16 @@ object CorpusPipeline {
         materialize(keepNear.join(spanDrops, Seq("doc_id"), "left_anti"))
     }
 
-    // 3. quality gate: error-severity violations drop the doc
+    // 3. quality gate: error-severity violations drop the doc. Run ONLY
+    // the error-severity rules: the gate filters to severity = "error"
+    // anyway, and a pruned catalog lets Catalyst drop the warn-only
+    // signal computations (quality score, symbol/bullet/ellipsis/alpha
+    // regex passes — roughly half the signal projection's regex work)
+    // from the scan entirely — guide §1.2: don't compute what you throw
+    // away. Violations from error rules are identical by construction.
+    val errorRules = QualityRules.catalog().filter(_.severity == "error")
     val vios = ValidationEngine.run(QualityRules.withSignals(keepSpans),
-      QualityRules.catalog(), Map.empty,
+      errorRules, Map.empty,
       EngineConfig(keyExpr = "cast(doc_id as string)", partExpr = "source"))
       .violations
     val keepQuality = materialize(keepSpans.join(

@@ -75,15 +75,24 @@ object LangModel {
       "oov", "avg_logp", "_nc", "_v")
     require(!docs.columns.exists(reserved),
       s"scoreCharLm reserves ${reserved.mkString("/")}")
-    val ctxCounts = model
+    // the model frame feeds THREE consumers (the gram broadcast, the
+    // context-count derivation, the vocab-size aggregate) and each would
+    // otherwise re-run the whole training lineage — a corpus-sized
+    // explode + aggregate — per consumer (the lshCandidates
+    // no-ReusedExchange shape). The model is |alphabet|^n rows, i.e.
+    // broadcast-sized by the class contract, so ONE eager checkpoint of
+    // the tiny frame runs training once; values are integer counts —
+    // bit-identical either way.
+    val m = model.localCheckpoint(true)
+    val ctxCounts = m
       .groupBy(substring(col("gram"), 1, n - 1).as("ctx"))
       .agg(max(col("n_ctx")).as("_nc"))
-    val vocab = model
+    val vocab = m
       .agg(countDistinct(substring(col("gram"), n, 1)).as("_v"))
     val pos = docs.select(col(idCol),
       explode_outer(charGrams(col(textCol), n)).as("gram"))
       .withColumn("ctx", substring(col("gram"), 1, n - 1))
-      .join(broadcast(model.select(col("gram"), col("n_gram"))),
+      .join(broadcast(m.select(col("gram"), col("n_gram"))),
         Seq("gram"), "left")
       .join(broadcast(ctxCounts), Seq("ctx"), "left")
       .crossJoin(broadcast(vocab))

@@ -133,6 +133,30 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(keptOff.select("doc_id").as[Long].collect().toSet.contains(20L))
   }
 
+  test("url dedup: null-url rows bypass the window and all survive; url twins still collapse") {
+    // 90%-null-url shape (the books/JSONL slice of a mixed corpus): the
+    // r8 de-skew routes null urls AROUND the min-over-window instead of
+    // through one shared null window group — survivors must be identical
+    // to the old semantics (all null-url docs kept, min id per real url)
+    val urled = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi", "en", "s0", "https://a.example.com/x"),
+      (2L, "totally different text about corpus construction pipelines in spark for everyone here today", "en", "s0", "https://A.EXAMPLE.com/x#frag"),
+      (3L, "third unique document body with its own words and nothing shared with the others at all", "en", "s0", null),
+      (4L, "fourth unique document body carrying separate content entirely from every other row present", "en", "s0", null),
+      (5L, "fifth unique document body of plain prose that matches no other document in this corpus", "en", "s0", null)
+    ).toDF("doc_id", "text", "lang", "source", "url")
+    val (kept, report) = CorpusPipeline.build(urled,
+      "doc_id", "text", "lang", "source", sampleRate = 1.0,
+      canonicalizeUrlCol = Some("url"))
+    val stages = report.orderBy("ord").as[(Int, String, Long)].collect()
+    val byName = stages.map(s => s._2 -> s._3).toMap
+    // urls 1/2 canonicalize to the same page → url_dedup drops doc 2;
+    // every null-url doc passes through un-deduped
+    assert(byName("input") === 5L && byName("url_dedup") === 4L)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 4L, 5L))
+  }
+
   test("kept set is invariant to input partitioning") {
     val (k1, _) = CorpusPipeline.build(corpus.repartition(7),
       "doc_id", "text", "lang", "source", sampleRate = 0.6)
