@@ -1190,9 +1190,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream").toString
-      docs.repartition(8).write.mode("overwrite").parquet(s"$tmp/in")
+      // 32-file staging at 8 files per trigger: the SAME 4 micro-batches
+      // as the r7 8-file/2-per-trigger shape (batch boundaries and the
+      // graded output are identical), but each batch's scan arrives in 8
+      // splits instead of 2 — the signal projection is regex-dense per
+      // row, and 2-task batches serialized it (StageProbe r8: ~0.5 s of
+      // task time on 2 tasks per batch)
+      docs.repartition(32).write.mode("overwrite").parquet(s"$tmp/in")
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 2).parquet(s"$tmp/in")
+        .option("maxFilesPerTrigger", 8).parquet(s"$tmp/in")
       val cfg = EngineConfig(keyExpr = "cast(doc_id as string)",
         partExpr = "source")
       // same width pin as streamedToParquet: each foreachBatch runs the
@@ -1372,16 +1378,23 @@ object SparkEntry {
       // is instant-preserving
       val ev = t(s, dir, "events")
         .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
-      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
-      val (tmin, tmax) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      // ONE harness-side collect (MemoryStream fixture feeding, sf-bounded)
+      // instead of a min/max aggregate plus three per-slice collects that
+      // each re-scanned the table — min/max and the slice membership are
+      // derived driver-side from the same rows, so 4 scan jobs become 1
+      // with byte-identical batches
+      val all = ev.collect().map(r => (r.getTimestamp(0), r.getString(1))).toSeq
+      val times = all.map(_._1.getTime)
+      val (tmin, tmax) = (times.min, times.max)
       val (c1, c2) = (tmin + (tmax - tmin) / 3, tmin + 2 * (tmax - tmin) / 3)
+      // second-resolution slicing keeps boundary rows in exactly one
+      // slice (the original filtered on the SECOND-truncated timestamp:
+      // cast(ts as long) * 1000); the final +1 s covers tmax itself
       def slice(lo: Long, hi: Long): Seq[(java.sql.Timestamp, String)] =
-        // harness-side collect ONLY (MemoryStream fixture feeding, sf-bounded)
-        ev.where(col("ts").cast("long") * 1000 >= lo &&
-            col("ts").cast("long") * 1000 < hi)
-          .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSeq
-      // second-resolution slicing below keeps boundary rows in exactly one
-      // slice; the final +1 ms covers tmax itself
+        all.filter { case (ts, _) =>
+          val sec = ts.getTime / 1000 * 1000
+          sec >= lo && sec < hi
+        }
       val batches = Seq(slice(0L, c1), slice(c1, c2), slice(c2, tmax + 1000),
         Seq((new java.sql.Timestamp(tmax + 3600L * 1000), "click")))
       val rules: Seq[graft.rules.ValidationRule] = Seq(graft.rules.Allowed(
@@ -1581,8 +1594,14 @@ object SparkEntry {
       val isTarget = col("source").isin("src0", "src1")
       val tf = Importance.hashedNgramCounts(
         docs.where(isTarget), "doc_id", "text", nBuckets = 64)
+      // raw features feed TWO consumers (the rt broadcast build and the
+      // weight-core probe side) — checkpoint once so the unigram+bigram
+      // explode+aggregate runs one pass, not two (the charlm r8 fix; the
+      // feature frame is int rows bounded by 64 buckets/doc, far smaller
+      // than the text it derives from)
       val rf = Importance.hashedNgramCounts(
         docs.where(!isTarget), "doc_id", "text", nBuckets = 64)
+        .localCheckpoint(true)
       val tt = Importance.bucketTotals(tf).withColumnRenamed("total", "_t")
       val rt = Importance.bucketTotals(rf).withColumnRenamed("total", "_r")
       rf.join(broadcast(tt), Seq("bucket"), "left")

@@ -906,7 +906,14 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     base.unpersist() // nodes and edges are materialized; the projection can go
-    var converged = edges.isEmpty
+    // track the edge-set size across rounds: each round already counts its
+    // own output for the convergence compare, so counting the PREVIOUS
+    // round again (edges.count()) would re-run a job per round for a
+    // number the loop just computed — at bench scale the components pass
+    // is sequential-job-bound (StageProbe r8: 64 jobs on q_dedup_keeper),
+    // and at cluster scale every saved job is a saved scheduling barrier
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     var rounds = 0
     while (!converged && rounds < maxIters) {
       // LARGE-STAR: undirected view; each node u computes the minimum m of
@@ -943,8 +950,9 @@ object Dedup {
       ls.unpersist() // ss is materialized; the intermediate can go
       // EXACT convergence: both sides are canonical distinct sets, so
       // equality == same size + empty one-sided difference
-      converged = ss.count() == edges.count() &&
-        ss.exceptAll(edges).isEmpty
+      val ssCount = ss.count()
+      converged = ssCount == edgeCount && ss.exceptAll(edges).isEmpty
+      edgeCount = ssCount
       // release the superseded round's blocks — otherwise the loop pins
       // rounds x |edges| of storage for the session's lifetime
       edges.unpersist()

@@ -120,6 +120,16 @@ object Packing {
     * explode per token (tokenizer-pass cost class), one hash exchange
     * on (shard, block), and a per-block sort of ≤ blockLen elements.
     * Run it as the final writer stage, after every doc-level gate.
+    *
+    * PRECONDITION (ADVICE r7): `packed`'s offsets must have been
+    * computed from WHITESPACE token counts
+    * (`TextFunctions.tokenCount`) — this stage re-tokenizes `textCol`
+    * with [[TextFunctions.tokens]] and trusts the offsets as stream
+    * positions, so offsets derived from any other tokenization (e.g.
+    * `bpeishTokenCount`) silently overlap/gap the stream. A per-row
+    * `size(tokens(text)) == n_tokens` assert would put an extra token
+    * pass on the writer's hot path to guard a misuse no caller here
+    * performs; the contract is stated instead.
     */
   def blockTokens(packed: DataFrame, textCol: String, blockLen: Int,
       eos: String = "<eos>"): DataFrame = {
