@@ -1594,14 +1594,14 @@ object SparkEntry {
       val isTarget = col("source").isin("src0", "src1")
       val tf = Importance.hashedNgramCounts(
         docs.where(isTarget), "doc_id", "text", nBuckets = 64)
-      // raw features feed TWO consumers (the rt broadcast build and the
-      // weight-core probe side) — checkpoint once so the unigram+bigram
-      // explode+aggregate runs one pass, not two (the charlm r8 fix; the
-      // feature frame is int rows bounded by 64 buckets/doc, far smaller
-      // than the text it derives from)
+      // NOTE (r8): rf feeds two consumers (the rt broadcast build and
+      // the probe side). An eager checkpoint was tried and REVERTED:
+      // the blocking materialization of the corpus-sized feature frame
+      // measured slower than recomputing the cheap explode+aggregate
+      // (1.41 s vs ~1.05 s at sf0.1) — the repeatedSpans trade, not the
+      // lshCandidates one
       val rf = Importance.hashedNgramCounts(
         docs.where(!isTarget), "doc_id", "text", nBuckets = 64)
-        .localCheckpoint(true)
       val tt = Importance.bucketTotals(tf).withColumnRenamed("total", "_t")
       val rt = Importance.bucketTotals(rf).withColumnRenamed("total", "_r")
       rf.join(broadcast(tt), Seq("bucket"), "left")

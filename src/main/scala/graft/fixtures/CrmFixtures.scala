@@ -213,8 +213,18 @@ object CrmFixtures {
       (6L, 4L, ts("2017-05-10 12:05:00"))
     ).toDF("id", "invoice_id", "opened")
 
-    Tables(customers, pets, contacts, services, bookingSlots, bookings,
-      bookingPets, invoices, charges, payments, stateLog, invoicesAfter,
-      invoiceOpens)
+    // ONE partition per fixture table: a LocalRelation feeding an
+    // exchange plans as LocalTableScanExec with up to
+    // leafNodeDefaultParallelism slices — at local[32] that is ONE ROW
+    // PER TASK for these 4-16-row tables, and the replay's 22 branches
+    // then pay ~100 ms of fixed task cost per row (StageProbe r8:
+    // 277 tasks / 24 s task time for 41 result rows). Fixture volume is
+    // KBs by definition, so a single slice per table is the honest
+    // shape; the engine's own parallelism downstream is untouched.
+    def one(df: DataFrame): DataFrame = df.coalesce(1)
+    Tables(one(customers), one(pets), one(contacts), one(services),
+      one(bookingSlots), one(bookings), one(bookingPets), one(invoices),
+      one(charges), one(payments), one(stateLog), one(invoicesAfter),
+      one(invoiceOpens))
   }
 }

@@ -116,16 +116,18 @@ object PagesTable {
     val exists = dirPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dirPath)
     val (merged, mergeDays) = if (!exists) (updatesP, Seq.empty[String]) else {
-      val arriving = updatesP.select(PartitionCol).distinct()
-        .collect().map(_.getString(0)).toSeq // tiny: the arriving day(s)
       val updKeys = updatesP.select(keyCols.map(col): _*).distinct()
-      val staleDays = read(spark, dir)
-        .select((PartitionCol +: keyCols).map(col): _*)
-        .join(updKeys, keyCols, "left_semi")
-        // partition inference types p_date as DATE on read — normalize
-        .select(col(PartitionCol).cast("string")).distinct()
+      // arriving days ∪ stale-key days in ONE collect (they fed two
+      // separate driver round-trips before — r8 job-count trim; the
+      // union is still a tiny day list)
+      val days = updatesP.select(col(PartitionCol).cast("string"))
+        .unionByName(read(spark, dir)
+          .select((PartitionCol +: keyCols).map(col): _*)
+          .join(updKeys, keyCols, "left_semi")
+          // partition inference types p_date as DATE on read — normalize
+          .select(col(PartitionCol).cast("string")))
+        .distinct()
         .collect().map(_.getString(0)).toSeq
-      val days = (arriving ++ staleDays).distinct
       (readDays(spark, dir, days).withColumn("_src", lit(0))
         .unionByName(updatesP), days)
     }
